@@ -1,0 +1,204 @@
+"""Building blocks for the 3-D ResNet zoo, in TPU-friendly NDHWC layout.
+
+Structural parity targets in the reference ``med3d.py``:
+- ``conv3x3x3``                  (``med3d.py:91-100``)
+- ``downsample_basic_block``     (shortcut type 'A': stride-subsample +
+                                  channel zero-pad, ``med3d.py:103-112``)
+- ``BasicBlock`` (expansion 1)   (``med3d.py:115-144``)
+- ``Bottleneck`` (expansion 4)   (``med3d.py:147-184``)
+- ``crop_concat_5d``             (``med3d.py:39-48``)
+- ``UpsampleConvBlock5d``        (``med3d.py:50-89``)
+- ``normal_wrapper``/``act_wrapper`` (``med3d.py:10-37``)
+
+Design notes (TPU-first, not a translation):
+- activations are NDHWC so 3-D convs tile directly onto the MXU;
+- BatchNorm statistics are taken over (N, D, H, W); when the batch dim is
+  sharded over the mesh's data axis under GSPMD jit the reduction becomes a
+  global (cross-replica) mean — exactly the reference's
+  ``sync_batchnorm=True`` semantics with zero extra code;
+- dilated convolutions map to ``lax.conv_general_dilated`` rhs_dilation.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+kaiming_normal_fan_out = nn.initializers.variance_scaling(
+    2.0, "fan_out", "normal")  # == torch kaiming_normal_(mode='fan_out')
+
+
+class NormWrapper(nn.Module):
+    """Norm selector (reference ``normal_wrapper``, ``med3d.py:10-28``).
+
+    'bn'    — BatchNorm with running stats (the only method the model zoo
+              instantiates);
+    'bnt'   — BatchNorm w/o running stats (batch stats always used);
+    'bntna' — same, no affine;
+    'ln'    — GroupNorm(1) (layer norm over C,D,H,W);
+    'lnna'  — same, no affine;
+    'in'    — GroupNorm(C) (instance norm).
+    'sbn'   — alias of 'bn': under GSPMD jit the batch-stat reduction is
+              already cross-replica (SyncBatchNorm semantics).
+    """
+    method: str = "bn"
+    momentum: float = 0.9   # torch BatchNorm3d momentum=0.1 → flax 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        m = self.method
+        if m in ("bn", "sbn"):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=self.momentum, epsilon=self.epsilon,
+                                dtype=self.dtype, name="bn")(x)
+        if m in ("bnt", "bntna"):
+            return nn.BatchNorm(use_running_average=False,
+                                momentum=self.momentum, epsilon=self.epsilon,
+                                use_bias=m == "bnt", use_scale=m == "bnt",
+                                dtype=self.dtype, name="bn")(x)
+        if m in ("ln", "lnna"):
+            return nn.GroupNorm(num_groups=1, epsilon=self.epsilon,
+                                use_bias=m == "ln", use_scale=m == "ln",
+                                dtype=self.dtype, name="gn")(x)
+        if m == "in":
+            return nn.GroupNorm(num_groups=x.shape[-1], epsilon=self.epsilon,
+                                dtype=self.dtype, name="gn")(x)
+        raise NotImplementedError(m)
+
+
+def conv3d(features: int, kernel: int | Tuple[int, int, int], stride=1,
+           dilation=1, bias=False, name=None, dtype=None):
+    """3-D conv with torch-style symmetric padding.
+
+    torch pads with ``padding=dilation`` for k=3 dilated convs
+    (``med3d.py:91-100``) and ``padding=3`` for the k=7 stem; the general
+    rule used throughout the reference is pad = dilation * (k-1) // 2.
+    """
+    if isinstance(kernel, int):
+        kernel = (kernel,) * 3
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    if isinstance(dilation, int):
+        dilation = (dilation,) * 3
+    padding = [(d * (k - 1) // 2, d * (k - 1) // 2)
+               for k, d in zip(kernel, dilation)]
+    return nn.Conv(features, kernel_size=kernel, strides=stride,
+                   padding=padding, kernel_dilation=dilation, use_bias=bias,
+                   kernel_init=kaiming_normal_fan_out, name=name, dtype=dtype)
+
+
+def max_pool_3d_k3s2p1(x):
+    """torch ``MaxPool3d(kernel_size=3, stride=2, padding=1)``
+    (``med3d.py:206``) on NDHWC activations."""
+    return nn.max_pool(x, window_shape=(3, 3, 3), strides=(2, 2, 2),
+                       padding=[(1, 1)] * 3)
+
+
+def downsample_shortcut_a(x, planes: int, stride: int):
+    """Shortcut type 'A' (``med3d.py:103-112``): ``avg_pool3d(k=1, stride)``
+    == strided subsample, then zero-pad channels up to ``planes``."""
+    if stride != 1:
+        x = x[:, ::stride, ::stride, ::stride, :]
+    pad_c = planes - x.shape[-1]
+    if pad_c > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad_c)])
+    return x
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3x3 convs + identity shortcut (``med3d.py:115-144``)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    use_downsample: bool = False
+    dtype: Optional[Dtype] = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = conv3d(self.planes, 3, self.stride, self.dilation,
+                     name="conv1", dtype=self.dtype)(x)
+        out = NormWrapper(dtype=self.dtype, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = conv3d(self.planes, 3, 1, self.dilation, name="conv2",
+                     dtype=self.dtype)(out)
+        out = NormWrapper(dtype=self.dtype, name="bn2")(out, train)
+        if self.use_downsample:
+            residual = downsample_shortcut_a(x, self.planes, self.stride)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1-3-1 bottleneck, expansion 4 (``med3d.py:147-184``)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    use_downsample: bool = False
+    dtype: Optional[Dtype] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = conv3d(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = NormWrapper(dtype=self.dtype, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = conv3d(self.planes, 3, self.stride, self.dilation, name="conv2",
+                     dtype=self.dtype)(out)
+        out = NormWrapper(dtype=self.dtype, name="bn2")(out, train)
+        out = nn.relu(out)
+        out = conv3d(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
+        out = NormWrapper(dtype=self.dtype, name="bn3")(out, train)
+        if self.use_downsample:
+            residual = downsample_shortcut_a(x, self.planes * 4, self.stride)
+        return nn.relu(out + residual)
+
+
+def crop_concat(t1, t2):
+    """Center-crop ``t2`` spatially to ``t1`` and concat channels
+    (``med3d.py:39-48``; offset = ceil((b-a)/2) per axis).  NDHWC."""
+    slices = [slice(None)]
+    for a, b in zip(t1.shape[1:4], t2.shape[1:4]):
+        off = -((a - b) // 2)  # == ceil((b-a)/2)
+        slices.append(slice(off, a + off))
+    slices.append(slice(None))
+    return jnp.concatenate([t1, t2[tuple(slices)]], axis=-1)
+
+
+class UpsampleConvBlock(nn.Module):
+    """Trilinear x2 upsample + crop-concat + N conv-BN-ReLU stages
+    (``med3d.py:50-89``; always called with align_corners=True trilinear
+    upsample and dropout=0)."""
+    base_chs: Sequence[int]
+    scale_factor: int = 2
+    conv_ksize: int = 3
+    conv_bias: bool = True
+    dropout: float = 0.0
+    norm_method: str = "bn"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, inputs, cats, train: bool):
+        from ..ops.resize import resize_linear
+        d, h, w = inputs.shape[1:4]
+        up = resize_linear(inputs, (d * self.scale_factor,
+                                    h * self.scale_factor,
+                                    w * self.scale_factor),
+                           (1, 2, 3), align_corners=True)
+        up = up.astype(inputs.dtype)
+        x = crop_concat(up, cats)
+        for idx, ch in enumerate(self.base_chs):
+            x = conv3d(ch, self.conv_ksize, bias=self.conv_bias,
+                       name=f"conv{idx}", dtype=self.dtype)(x)
+            x = NormWrapper(self.norm_method, dtype=self.dtype,
+                            name=f"norm{idx}")(x, train)
+            x = nn.relu(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x

@@ -1,0 +1,143 @@
+"""3-D ResNet model zoo: dilated encoder + U-Net decoder + task heads.
+
+Parity targets:
+- ``ResNetSegCls``  (``med3d.py:187-285``) — dense logits per task + global
+  average-pooled classification logits;
+- ``ResNetSegReg``  (``med3d.py:288-388``) — sigmoid dense maps + lung-masked
+  lesion-fraction regressions (the dRAM model);
+- ``ResNet``        (``med3d.py:427-501``) — plain classifier baseline.
+
+Architecture (all variants): conv1 k7 s2 → maxpool k3 s2 → layer1 (64, s1)
+→ layer2 (128, s2) → layer3 (256, s1, dil 2) → layer4 (512, s1, dil 4); the
+Seg variants add us1 (x2 up + concat layer1 + 2 convs), us2 (x2 up + concat
+stem + 2 convs), us3 (conv 64→32) and per-task 1x1x1 heads at 1/2 input
+resolution.
+
+Layout is NDHWC (channels-last) — the idiomatic TPU layout; inputs are
+(B, D, H, W, 1) and lung masks (B, D, H, W, 1).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Type, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.masked_pool import lung_masked_fraction
+from .blocks import (
+    BasicBlock,
+    Bottleneck,
+    NormWrapper,
+    UpsampleConvBlock,
+    conv3d,
+    max_pool_3d_k3s2p1,
+)
+
+Dtype = Any
+
+
+class _Trunk(nn.Module):
+    """Shared encoder trunk; returns (stem, layer1, layer4) activations."""
+    block: Type[nn.Module]
+    layers: Sequence[int]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv3d(64, 7, stride=2, name="conv1", dtype=self.dtype)(x)
+        x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)                               # /2
+        xp = max_pool_3d_k3s2p1(x)                    # /4
+        x1 = self._layer(xp, 64, self.layers[0], 1, 1, "layer1", train)
+        x2 = self._layer(x1, 128, self.layers[1], 2, 1, "layer2", train)
+        x3 = self._layer(x2, 256, self.layers[2], 1, 2, "layer3", train)
+        x4 = self._layer(x3, 512, self.layers[3], 1, 4, "layer4", train)
+        return x, x1, x4
+
+    def _layer(self, x, planes, blocks, stride, dilation, name, train):
+        exp = self.block.expansion
+        need_ds = stride != 1 or x.shape[-1] != planes * exp
+        x = self.block(planes, stride, dilation, use_downsample=need_ds,
+                       dtype=self.dtype, name=f"{name}_0")(x, train)
+        for i in range(1, blocks):
+            x = self.block(planes, 1, dilation, use_downsample=False,
+                           dtype=self.dtype, name=f"{name}_{i}")(x, train)
+        return x
+
+
+class _Decoder(nn.Module):
+    """U-Net-ish decoder: us1/us2/us3 (``med3d.py:215-229``)."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x4, x1, stem, train: bool):
+        xup1 = UpsampleConvBlock([64, 64], dtype=self.dtype,
+                                 name="us1")(x4, x1, train)
+        xup2 = UpsampleConvBlock([64, 64], dtype=self.dtype,
+                                 name="us2")(xup1, stem, train)
+        x = conv3d(32, 3, bias=True, name="us3_conv", dtype=self.dtype)(xup2)
+        x = NormWrapper(dtype=self.dtype, name="us3_bn")(x, train)
+        return nn.relu(x)
+
+
+class ResNetSegCls(nn.Module):
+    """Classification variant (``med3d.py:187-285``): per-task dense logits
+    + globally average-pooled classification logits."""
+    block: Type[nn.Module] = BasicBlock
+    layers: Sequence[int] = (3, 4, 6, 3)
+    n_classes: Sequence[int] = (6, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, lungs=None, train: bool = False):
+        stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
+                              name="trunk")(x, train)
+        xup3 = _Decoder(self.dtype, name="decoder")(x4, x1, stem, train)
+        dense_outs = [conv3d(n, 1, bias=True, name=f"fc{i}",
+                             dtype=self.dtype)(xup3)
+                      for i, n in enumerate(self.n_classes)]
+        cls_outs = [jnp.mean(d.astype(jnp.float32), axis=(1, 2, 3))
+                    for d in dense_outs]
+        return dense_outs, cls_outs
+
+
+class ResNetSegReg(nn.Module):
+    """dRAM regression variant (``med3d.py:288-388``): sigmoid dense maps +
+    lung-masked lesion fractions (CLE, PSE)."""
+    block: Type[nn.Module] = BasicBlock
+    layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, lungs=None, train: bool = False):
+        stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
+                              name="trunk")(x, train)
+        xup3 = _Decoder(self.dtype, name="decoder")(x4, x1, stem, train)
+        dense_outs = [
+            jax.nn.sigmoid(conv3d(1, 1, bias=True, name=f"fc{i}",
+                                  dtype=self.dtype)(xup3).astype(jnp.float32))
+            for i in range(2)]
+        if lungs is None:
+            lungs = jnp.ones(x.shape[:1] + dense_outs[0].shape[1:4] + (1,),
+                             jnp.float32)
+        reg_outs = [lung_masked_fraction(d, lungs)[:, 0] for d in dense_outs]
+        return dense_outs, reg_outs
+
+
+class ResNet(nn.Module):
+    """Plain classifier baseline (``med3d.py:427-501``): trunk + 1x1x1 conv
+    head + global average pool; returns (logits, dense_predictions)."""
+    block: Type[nn.Module] = BasicBlock
+    layers: Sequence[int] = (3, 4, 6, 3)
+    n_classes: int = 6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _, _, x4 = _Trunk(self.block, self.layers, self.dtype,
+                          name="trunk")(x, train)
+        dense = conv3d(self.n_classes, 1, bias=True, name="fc",
+                       dtype=self.dtype)(x4)
+        logits = jnp.mean(dense.astype(jnp.float32), axis=(1, 2, 3))
+        return logits, dense

@@ -1,0 +1,132 @@
+"""Model zoo tests: shapes, registry, param-count parity, and — when the
+reference checkout is present — full forward parity against the torch model
+with converted weights."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bodyct_dram_emph_subtype_tpu.models import (
+    ResNetSegCls,
+    ResNetSegReg,
+    get_model_by_name,
+)
+from bodyct_dram_emph_subtype_tpu.models.torch_import import convert_state_dict
+
+REFERENCE = Path("/root/reference")
+
+INPUT = (1, 32, 48, 64, 1)  # small but downsample-compatible (div by 8)
+
+
+def _init(model, with_lungs=True):
+    x = jnp.zeros(INPUT, jnp.float32)
+    lungs = jnp.ones(INPUT, jnp.float32) if with_lungs else None
+    variables = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    return variables, x, lungs
+
+
+def test_segcls_shapes():
+    model = get_model_by_name("med3d18")
+    variables, x, lungs = _init(model)
+    dense, cls = model.apply(variables, x, lungs, train=False)
+    assert dense[0].shape == (1, 16, 24, 32, 6)
+    assert dense[1].shape == (1, 16, 24, 32, 3)
+    assert cls[0].shape == (1, 6) and cls[1].shape == (1, 3)
+
+
+def test_segreg_shapes_and_range():
+    model = get_model_by_name("med3ddram18")
+    variables, x, lungs = _init(model)
+    dense, reg = model.apply(variables, x, lungs, train=False)
+    assert dense[0].shape == (1, 16, 24, 32, 1)
+    assert reg[0].shape == (1,) and reg[1].shape == (1,)
+    assert 0.0 <= float(reg[0][0]) <= 1.0
+    d = np.asarray(dense[0])
+    assert (d >= 0).all() and (d <= 1).all()  # sigmoid maps
+
+
+def test_registry_all_archs_construct():
+    for name in ["med3d", "med3d18", "med3d50", "med3ddram", "med3ddram18",
+                 "med3ddram50"]:
+        model = get_model_by_name(name)
+        assert isinstance(model, (ResNetSegCls, ResNetSegReg))
+    with pytest.raises(KeyError):
+        get_model_by_name("nope")
+
+
+def test_train_mode_updates_batch_stats():
+    model = get_model_by_name("med3ddram18")
+    variables, x, lungs = _init(model)
+    (dense, reg), mutated = model.apply(
+        variables, x + 1.0, lungs, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["trunk"]["bn1"]["bn"]["mean"]
+    after = mutated["batch_stats"]["trunk"]["bn1"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def _param_count(tree):
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(tree))
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("arch,factory", [
+    ("med3ddram18", "resnet18segreg"),
+    ("med3d18", "resnet18segcls"),
+    ("med3ddram", "resnet34segreg"),
+    ("med3ddram50", "resnet50segreg"),
+])
+def test_param_count_parity_with_reference(arch, factory):
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import med3d as ref_med3d
+        torch_model = getattr(ref_med3d, factory)()
+        want = sum(p.numel() for p in torch_model.parameters())
+    finally:
+        sys.path.pop(0)
+    model = get_model_by_name(arch)
+    variables, _, _ = _init(model)
+    got = _param_count(variables["params"])
+    assert got == want
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("arch,factory", [("med3ddram18", "resnet18segreg"),
+                                          ("med3d18", "resnet18segcls")])
+def test_forward_parity_with_reference(rng, arch, factory):
+    """Convert random torch weights into the Flax model and compare full
+    forward passes (eval mode) on the same input."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import med3d as ref_med3d
+        torch_model = getattr(ref_med3d, factory)().eval()
+    finally:
+        sys.path.pop(0)
+
+    model = get_model_by_name(arch)
+    variables, _, _ = _init(model)
+    variables, report = convert_state_dict(torch_model.state_dict(),
+                                           dict(variables))
+    assert report["missing"] == 0 and report["shape_mismatch"] == 0
+
+    x = rng.randn(*INPUT).astype(np.float32)
+    lungs = (rng.rand(*INPUT) > 0.3).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+        tl = torch.from_numpy(np.moveaxis(lungs, -1, 1).copy())
+        want_dense, want_heads = torch_model(tx, tl)
+
+    with jax.default_matmul_precision("highest"):
+        got_dense, got_heads = model.apply(variables, jnp.asarray(x),
+                                           jnp.asarray(lungs), train=False)
+    for gd, wd in zip(got_dense, want_dense):
+        wd = np.moveaxis(wd.numpy(), 1, -1)
+        np.testing.assert_allclose(np.asarray(gd), wd, rtol=1e-3, atol=2e-4)
+    for gh, wh in zip(got_heads, want_heads):
+        np.testing.assert_allclose(np.asarray(gh), wh.numpy(), rtol=1e-3,
+                                   atol=2e-4)

@@ -1,0 +1,80 @@
+"""Parity of ROI-align / crop-resize vs torch affine_grid + grid_sample."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from bodyct_dram_emph_subtype_tpu.ops import crop_and_resize, grid_sample_3d
+
+
+def _torch_roi_align(vol, box01, mode, align_corners):
+    """Oracle: the reference roi_align pipeline (functional.py:67-94):
+    axis-flip affine matrix + affine_grid(default align_corners=False) +
+    grid_sample."""
+    ndim = vol.ndim
+    bb = torch.as_tensor(box01, dtype=torch.float32)[None]  # (1, ndim, 2)
+    bb = bb[:, list(range(ndim))[::-1], :]
+    scaler = (bb[:, :, 1] - bb[:, :, 0]).unsqueeze(1) * torch.eye(ndim)[None]
+    shift = (-1.0 + bb.sum(-1)).unsqueeze(-1)
+    aff = torch.cat([scaler, shift], dim=-1)
+    t = torch.from_numpy(vol)[None, None].float()
+    grid = F.affine_grid(aff, (1, 1) + vol.shape)
+    out = F.grid_sample(t, grid, mode=mode, padding_mode="zeros",
+                        align_corners=align_corners)
+    return out[0, 0].numpy()
+
+
+def _box01_from_params(shape, center, size):
+    lo, hi = [], []
+    for c, s, m in zip(center, shape, size):
+        start = max(0, int(c * s) - int(m * s) // 2)
+        stop = min(int(c * s) + (int(m * s) - int(m * s) // 2), s)
+        lo.append(start / s)
+        hi.append(stop / s)
+    return np.stack([lo, hi], axis=-1)
+
+
+@pytest.mark.parametrize("center,size", [
+    ((0.5, 0.5, 0.5), (1.0, 1.0, 1.0)),
+    ((0.45, 0.55, 0.5), (0.95, 0.97, 1.0)),
+    ((0.3, 0.7, 0.5), (0.5, 0.6, 0.8)),
+])
+def test_crop_resize_image_matches_torch(rng, center, size):
+    vol = rng.randn(17, 23, 19).astype(np.float32)
+    box01 = _box01_from_params(vol.shape, center, size)
+    want = _torch_roi_align(vol, box01, "bilinear", align_corners=True)
+    got = np.asarray(crop_and_resize(jnp.asarray(vol),
+                                     jnp.asarray(center, jnp.float32),
+                                     jnp.asarray(size, jnp.float32),
+                                     is_mask=False, align_corners=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("center,size", [
+    ((0.45, 0.55, 0.5), (0.95, 0.97, 1.0)),
+    ((0.5, 0.5, 0.5), (0.99, 0.95, 0.96)),
+])
+def test_crop_resize_mask_matches_torch(rng, center, size):
+    vol = (rng.rand(17, 23, 19) > 0.5).astype(np.float32)
+    box01 = _box01_from_params(vol.shape, center, size)
+    want = _torch_roi_align(vol, box01, "nearest", align_corners=False)
+    got = np.asarray(crop_and_resize(jnp.asarray(vol),
+                                     jnp.asarray(center, jnp.float32),
+                                     jnp.asarray(size, jnp.float32),
+                                     is_mask=True))
+    assert (got != want).mean() < 0.02  # nearest ties may round differently
+    np.testing.assert_array_equal(got.shape, want.shape)
+
+
+def test_general_grid_sample_matches_torch(rng):
+    vol = rng.randn(9, 11, 13).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (5, 6, 7, 3)).astype(np.float32)
+    want = F.grid_sample(torch.from_numpy(vol)[None, None],
+                         torch.from_numpy(grid)[None],
+                         mode="bilinear", padding_mode="zeros",
+                         align_corners=False)[0, 0].numpy()
+    got = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid),
+                                    mode="bilinear", align_corners=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
