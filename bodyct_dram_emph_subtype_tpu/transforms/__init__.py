@@ -17,6 +17,7 @@ from .intensity import (
     IntensityWindow,
     Standardize,
 )
+from .batch_augment import batch_augment
 from .spatial import CropAndResize, Flip, Interpolate
 
 __all__ = [
@@ -24,7 +25,7 @@ __all__ = [
     "CropAndResize", "DualTransform", "Flip", "GaussianAdditive",
     "GaussianAddictive", "GaussianSmooth", "ImageOnlyTransform",
     "IntensityWindow", "Interpolate", "Standardize", "ToDevice", "ToHost",
-    "key_to_rng",
+    "batch_augment", "key_to_rng",
 ]
 
 

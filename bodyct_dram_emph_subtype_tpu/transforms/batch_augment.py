@@ -1,0 +1,99 @@
+"""Fused on-device batched training augmentation.
+
+The reference runs its four random augmentations per sample in CPU dataloader
+workers (``models.py:64-76``): GaussianAdditive(p=.5) → BoxMaskOut(p=.5,
+1–10 boxes) → Flip(p=.5, 1–2 axes) → CropAndResize(p=.5, center U(.45,.55),
+size U(.95,1)).  That CPU chain is the training-throughput bottleneck.
+
+Here the whole chain is a single jitted function over the *batch*, vmapped
+with per-sample PRNG keys: every op is shape-static, the probability gates
+become ``jnp.where`` selects (both branches are cheap elementwise/gather
+work), and XLA fuses the chain into a handful of kernels that run on the
+accelerator between host load and the forward pass.
+
+Sampling distributions match the reference exactly; the RNG stream obviously
+differs (JAX threefry vs python/numpy global state).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import crop_and_resize
+from ..ops.intensity import box_cutout, gaussian_additive_noise
+
+MAX_CUTOUT_BOXES = 10
+
+
+def _augment_one(image: jax.Array, masks: Tuple[jax.Array, ...],
+                 key: jax.Array) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Apply the training augmentation chain to one (D,H,W) sample."""
+    k_gate, k_noise, k_cut, k_flip, k_crop = jax.random.split(key, 5)
+    gates = jax.random.uniform(k_gate, (4,)) < 0.5
+    ndim = image.ndim
+
+    # 1. additive gaussian noise in rescaled [0,1] space ------------------
+    k_sigma, k_eps = jax.random.split(k_noise)
+    sigma = jax.random.uniform(k_sigma, (), minval=0.03, maxval=0.06)
+    noisy = gaussian_additive_noise(image, k_eps, sigma)
+    image = jnp.where(gates[0], noisy, image)
+
+    # 2. box cutout -------------------------------------------------------
+    k_n, k_c, k_s = jax.random.split(k_cut, 3)
+    n_boxes = jax.random.randint(k_n, (), 1, MAX_CUTOUT_BOXES + 1)
+    centers = jax.random.uniform(k_c, (MAX_CUTOUT_BOXES, ndim),
+                                 minval=0.2, maxval=0.8)
+    sizes = jax.random.uniform(k_s, (MAX_CUTOUT_BOXES, ndim),
+                               minval=0.01, maxval=0.06)
+    valid = (jnp.arange(MAX_CUTOUT_BOXES) < n_boxes) & gates[1]
+    image = box_cutout(image, centers, sizes, valid)
+
+    # 3. flip 1-2 random axes (dim=(1,3) quirk: randint(1,3) axes) --------
+    k_na, k_perm = jax.random.split(k_flip)
+    n_axes = jax.random.randint(k_na, (), 1, 3)
+    perm = jax.random.permutation(k_perm, ndim)
+    inv_rank = jnp.argsort(perm)
+    flip_axis = (inv_rank < n_axes) & gates[2]
+
+    def flip_all(x):
+        for axis in range(ndim):
+            x = jnp.where(flip_axis[axis], jnp.flip(x, axis=axis), x)
+        return x
+
+    image = flip_all(image)
+    masks = tuple(flip_all(m) for m in masks)
+
+    # 4. crop-and-resize --------------------------------------------------
+    k_cc, k_cs = jax.random.split(k_crop)
+    center = jax.random.uniform(k_cc, (ndim,), minval=0.45, maxval=0.55)
+    size = jax.random.uniform(k_cs, (ndim,), minval=0.95, maxval=1.0)
+    cropped = crop_and_resize(image, center, size, is_mask=False,
+                              align_corners=True)
+    image = jnp.where(gates[3], cropped, image)
+    masks = tuple(
+        jnp.where(gates[3],
+                  crop_and_resize(m.astype(jnp.float32), center, size,
+                                  is_mask=True),
+                  m.astype(jnp.float32))
+        for m in masks)
+    return image, masks
+
+
+@functools.partial(jax.jit, static_argnames=())
+def batch_augment(images: jax.Array, lung_masks: jax.Array,
+                  em_masks: jax.Array, key: jax.Array
+                  ) -> Dict[str, jax.Array]:
+    """Vmapped augmentation over a (B, D, H, W) batch with per-sample keys."""
+    keys = jax.random.split(key, images.shape[0])
+
+    def one(img, lung, em, k):
+        img, (lung, em) = _augment_one(img, (lung, em), k)
+        return img, lung, em
+
+    img, lung, em = jax.vmap(one)(images,
+                                  lung_masks.astype(jnp.float32),
+                                  em_masks.astype(jnp.float32), keys)
+    return {"image": img, "lung_mask": lung, "em_mask": em}
