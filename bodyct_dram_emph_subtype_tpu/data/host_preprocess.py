@@ -1,0 +1,102 @@
+"""NumPy mirror of the deterministic per-sample preprocess chain.
+
+window(-1150,-300 → 0,1) → standardize → in-plane bilinear resize +
+linspace depth subsample (reference ``models.py:57-63``), for the *host*
+input-pipeline mode where loader threads deliver ready-to-stack fixed-shape
+float32 volumes and the device runs only augmentation + model.
+
+Numerics match the JAX/torch implementations (indices and weights computed
+in float64, like torch CPU kernels); see ``ops/resize.py`` for the device
+version and the parity tests.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _linear_taps(out_size: int, in_size: int, align_corners: bool):
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = i * scale
+    else:
+        src = np.maximum((i + 0.5) * in_size / out_size - 0.5, 0.0)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w = (src - i0).astype(np.float32)
+    return i0, i1, w
+
+
+def resize_linear_np(x: np.ndarray, out_sizes, axes, align_corners: bool
+                     ) -> np.ndarray:
+    x = x.astype(np.float32)
+    for axis, out_size in zip(axes, out_sizes):
+        i0, i1, w = _linear_taps(out_size, x.shape[axis], align_corners)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        w = w.reshape(shape)
+        x = (np.take(x, i0, axis=axis) * (1 - w)
+             + np.take(x, i1, axis=axis) * w)
+    return x
+
+
+def resize_nearest_np(x: np.ndarray, out_sizes, axes) -> np.ndarray:
+    for axis, out_size in zip(axes, out_sizes):
+        n = x.shape[axis]
+        idx = np.minimum(np.floor(np.arange(out_size) * (n / out_size)
+                                  ).astype(np.int64), n - 1)
+        x = np.take(x, idx, axis=axis)
+    return x
+
+
+def depth_indices_np(d_in: int, d_out: int) -> np.ndarray:
+    if d_out > 1:
+        vals = np.arange(d_out, dtype=np.float64) * ((d_in - 1) / (d_out - 1))
+    else:
+        vals = np.zeros(1)
+    return vals.astype(np.int64)
+
+
+def preprocess_sample(sample: Dict[str, np.ndarray],
+                      target_size: Tuple[int, int, int],
+                      window=(-1150.0, -300.0)) -> Dict[str, np.ndarray]:
+    """window → standardize → interpolate on one archive sample; masks get
+    nearest in-plane + the same depth subsampling."""
+    out = dict(sample)
+    img = np.asarray(sample["image"]).astype(np.float32)
+    lo, hi = window
+    img = np.clip(img, lo, hi)
+    img = (img - lo) / (hi - lo)
+    img = (img - img.mean()) / (img.std(ddof=1) + 0.0)
+    d_new, h_new, w_new = target_size
+    d_idx = depth_indices_np(img.shape[0], d_new)
+    img = resize_linear_np(img, (h_new, w_new), (1, 2), align_corners=True)
+    out["image"] = np.ascontiguousarray(img[d_idx])
+    for key in sample:
+        if "mask" in key:
+            m = np.asarray(sample[key]).astype(np.float32)
+            m = resize_nearest_np(m, (h_new, w_new), (1, 2))
+            out[key] = np.ascontiguousarray(m[d_idx])
+    return out
+
+
+class PreprocessedView:
+    """Dataset adapter: applies ``preprocess_sample`` on ``__getitem__`` —
+    what the loader threads run in host-pipeline mode."""
+
+    def __init__(self, dataset, target_size, window=(-1150.0, -300.0)):
+        self.dataset = dataset
+        self.target_size = tuple(target_size)
+        self.window = window
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        return preprocess_sample(self.dataset[index], self.target_size,
+                                 self.window)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)

@@ -1,0 +1,3 @@
+from .processor import run_inference
+
+__all__ = ["run_inference"]

@@ -1,0 +1,185 @@
+"""Deployment inference pipeline — the ``processor.py`` equivalent.
+
+Parity with the reference Grand-Challenge processor (``processor.py:55-177``):
+
+- same CLI contract (``--scan_path/--lobe_path/--output_path`` + arch/batch
+  flags) and the same output tree:
+  ``images/centrilobular-emphysema-heatmap/<uid>.mha``,
+  ``images/paraseptal-emphysema-heatmap/<uid>.mha``,
+  ``centrilobular-emphysema-score.json``,
+  ``araseptal-emphysema-score.json``  (sic — the reference's typo'd filename
+  is part of the deployed contract, ``processor.py:77``),
+  ``results.json``;
+- pipeline: paired MHA read → lung dilate ×2 → −2048 mask-out → bbox crop
+  +5 mm → −910 ess mask → window/standardize/resize → batched jitted
+  forward → dRAM maps upsampled (align_corners=True), masked, reduced to
+  lesion percentages → host un-crop into original geometry → uint8 MHA with
+  the cached ITK meta.
+
+TPU-first differences: the model runs as one jitted NDHWC program over a
+device mesh; batches are padded by wrap-around to keep one compiled shape
+(deduped on output); percentages are normalised per sample (the reference
+divides by the whole batch's lung volume, ``models.py:440-441`` — identical
+at the deployment batch of one scan).
+"""
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data import DataLoader, SubtypingInference, write_arrays_to_mha
+from ..data.datasets import CLE_RATIO_MAP, PSE_RATIO_MAP, ratio_to_label
+from ..data.host_preprocess import preprocess_sample, resize_linear_np
+from ..models import get_model_by_name
+from ..parallel.mesh import MeshSpec, get_mesh, shard_batch
+from ..train.checkpoint import greedy_restore_variables
+from ..train.state import TrainState, make_optimizer
+from ..train.steps import make_predict_step
+from ..utils.viz import windowing
+
+logger = logging.getLogger(__name__)
+
+
+class _PredictView:
+    """Per-sample host preprocess for the inference dataset: drops the
+    unused ``original_image``, resizes image + masks to the model size."""
+
+    def __init__(self, dataset: SubtypingInference, target_size):
+        self.dataset = dataset
+        self.target_size = tuple(target_size)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        sample = self.dataset[index]
+        sample.pop("original_image", None)
+        return preprocess_sample(sample, self.target_size)
+
+
+def run_inference(scan_path: str, lobe_path: str, output_path: str,
+                  model_arch: str = "med3ddram",
+                  ckp_path: Optional[str] = "best.ckpt",
+                  target_size=(128, 224, 288), batch_size: int = 2,
+                  workers: int = 2, nchips: Optional[int] = None,
+                  compute_dtype: str = "float32",
+                  state: Optional[TrainState] = None) -> List[Dict[str, Any]]:
+    """Run the full deployment pipeline; returns the results list."""
+    import jax.numpy as jnp
+
+    out_root = Path(output_path)
+    cle_json = out_root / "centrilobular-emphysema-score.json"
+    pse_json = out_root / "araseptal-emphysema-score.json"  # contract typo
+    results_json = out_root / "results.json"
+    out_cle = out_root / "images" / "centrilobular-emphysema-heatmap"
+    out_pse = out_root / "images" / "paraseptal-emphysema-heatmap"
+    out_cle.mkdir(parents=True, exist_ok=True)
+    out_pse.mkdir(parents=True, exist_ok=True)
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    model = get_model_by_name(model_arch, dtype=dtype)
+    n = nchips or len(jax.devices())
+    mesh = get_mesh(MeshSpec(data=n), devices=jax.devices()[:n])
+    predict_step = make_predict_step(model)
+
+    dataset = SubtypingInference(scan_path, lobe_path)
+    if len(dataset) == 0:
+        raise FileNotFoundError(f"no .mha scans under {scan_path}")
+    view = _PredictView(dataset, target_size)
+
+    if state is None:
+        x = jnp.zeros((1, *target_size, 1), jnp.float32)
+        variables = dict(model.init(jax.random.PRNGKey(0), x, x, train=False))
+        if ckp_path and Path(ckp_path).exists():
+            variables = greedy_restore_variables(variables, ckp_path)
+            logger.info("loaded weights from %s", ckp_path)
+        else:
+            logger.warning("no checkpoint found at %s — random weights",
+                           ckp_path)
+        state = TrainState.create(variables, make_optimizer())
+
+    gbs = batch_size * mesh.shape["data"]
+    indices = list(range(len(view)))
+    pad = (-len(indices)) % gbs
+    indices = indices + indices[:pad or 0]
+    loader = DataLoader(view, indices=indices, batch_size=gbs,
+                        drop_last=False, num_workers=workers)
+
+    per_scan: Dict[str, Dict[str, Any]] = {}
+    for batch in loader:
+        device_in = shard_batch(mesh, {
+            "image": batch["image"].astype(np.float32),
+            "lung": batch["lung_mask"].astype(np.float32),
+            "ess": batch["ess_mask"].astype(np.float32)})
+        res = predict_step(state, device_in["image"], device_in["lung"],
+                           device_in["ess"])
+        res = {k: np.asarray(v) for k, v in res.items()}
+        for i, uid in enumerate(batch["uid"]):
+            if uid in per_scan:
+                continue  # wrap-around padding duplicate
+            per_scan[uid] = {
+                "cle_dense": res["cle_dense_outs"][i],
+                "pse_dense": res["pse_dense_outs"][i],
+                "cle_pct": float(res["cle_precentages"][i]),
+                "pse_pct": float(res["pse_precentages"][i]),
+                "crop_slice": np.asarray(batch["crop_slice"][i]),
+                "original_size": np.asarray(batch["original_size"][i]),
+            }
+
+    results = []
+    for uid, rec in per_scan.items():
+        crop = rec["crop_slice"]
+        original_size = tuple(int(s) for s in rec["original_size"])
+        recon_size = tuple(int(b - a) for a, b in crop)
+        paste = tuple(slice(int(a), int(b)) for a, b in crop)
+
+        metrics = {}
+        full_maps = {}
+        for name, dense, pct in (("cle", rec["cle_dense"], rec["cle_pct"]),
+                                 ("pse", rec["pse_dense"], rec["pse_pct"])):
+            up = resize_linear_np(dense, recon_size, (0, 1, 2),
+                                  align_corners=True)
+            full = np.zeros(original_size, np.float32)
+            full[paste] = up
+            full_maps[name] = full
+            ratio_map = CLE_RATIO_MAP if name == "cle" else PSE_RATIO_MAP
+            metrics[f"{name}_severity_score"] = "{:d}".format(
+                ratio_to_label(pct, ratio_map))
+            metrics[f"{name}_lesion_percentage_per_lung"] = "{:.3f}".format(pct)
+
+        results.append({"entity": uid, "metrics": metrics,
+                        "error_messages": []})
+        meta = dataset.scan_meta_cache[uid]
+        itk_kwargs = dict(
+            origin=meta["origin"][::-1],
+            direction=np.asarray(meta["direction"]).reshape(3, 3)[
+                ::-1].flatten().tolist(),
+            spacing=meta["spacing"][::-1])
+        write_arrays_to_mha(out_cle,
+                            [windowing(full_maps["cle"],
+                                       from_span=(0, 1)).astype(np.uint8)],
+                            [uid], dtype=np.uint8, **itk_kwargs)
+        write_arrays_to_mha(out_pse,
+                            [windowing(full_maps["pse"],
+                                       from_span=(0, 1)).astype(np.uint8)],
+                            [uid], dtype=np.uint8, **itk_kwargs)
+
+    if jax.process_index() == 0 and results:
+        with open(cle_json, "w") as f:
+            f.write(json.dumps({
+                "score": int(float(results[0]["metrics"]["cle_severity_score"])),
+                "percentage": float(
+                    results[0]["metrics"]["cle_lesion_percentage_per_lung"])}))
+        with open(pse_json, "w") as f:
+            f.write(json.dumps({
+                "score": int(float(results[0]["metrics"]["pse_severity_score"])),
+                "percentage": float(
+                    results[0]["metrics"]["pse_lesion_percentage_per_lung"])}))
+        with open(results_json, "w") as f:
+            f.write(json.dumps(results))
+    return results

@@ -19,6 +19,7 @@ from .grid_sample import (
     grid_sample_3d,
 )
 from .masked_pool import lung_masked_fraction
+from .preprocess import fused_preprocess, preprocess_one
 from .morphology import (
     binary_dilate,
     binary_dilate_np,
@@ -45,6 +46,7 @@ __all__ = [
     "crop_and_resize",
     "depth_linspace_indices",
     "find_crops_np",
+    "fused_preprocess",
     "gaussian_additive_noise",
     "gaussian_kernel_1d",
     "gaussian_smooth",
@@ -56,6 +58,7 @@ __all__ = [
     "mask_bbox",
     "nearest_gather_1d",
     "pad_bbox_mm",
+    "preprocess_one",
     "resize_linear",
     "resize_nearest",
     "standardize",

@@ -1,0 +1,91 @@
+"""Fused on-device preprocessing: raw int16 CT → model-ready tensor.
+
+The reference preprocesses every sample on the CPU in dataloader workers
+(HU window → standardize → in-plane resize + depth subsample,
+``models.py:57-63``), which BASELINE.json identifies as the throughput
+bottleneck to kill.  Here the whole chain is one jitted program over a
+batch of *raw int16* volumes:
+
+- volumes of varying original sizes ride in one static padded buffer with a
+  per-sample ``in_sizes`` vector; only gather indices depend on it, so one
+  compiled executable serves every scan;
+- shipping int16 instead of preprocessed float32 also halves host→HBM
+  transfer bytes;
+- the emphysema masks are derived on device too (LAA-950 for training,
+  −910 ess for inference — the reference's two thresholds,
+  ``dataset.py:149`` vs ``dataset.py:79``);
+- standardization statistics are masked to the valid (unpadded) extent and
+  use the unbiased (ddof=1) estimator like torch ``Tensor.std()``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .resize import depth_linspace_indices, linear_gather_1d, nearest_gather_1d
+
+WINDOW = (-1150.0, -300.0)
+
+
+def _valid_mask(shape, in_sizes):
+    m = jnp.ones(shape, jnp.bool_)
+    for axis in range(3):
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        m &= idx < in_sizes[axis]
+    return m
+
+
+def _resize_sample(vol, in_sizes, target_size, is_mask: bool):
+    d_new, h_new, w_new = target_size
+    if is_mask:
+        out = nearest_gather_1d(vol, h_new, -2, in_sizes[1])
+        out = nearest_gather_1d(out, w_new, -1, in_sizes[2])
+    else:
+        out = linear_gather_1d(vol, h_new, -2, True, in_sizes[1])
+        out = linear_gather_1d(out, w_new, -1, True, in_sizes[2])
+    idx = depth_linspace_indices(in_sizes[0], d_new)
+    return jnp.take(out, idx, axis=-3)
+
+
+def preprocess_one(image_i16: jax.Array, lung: jax.Array,
+                   in_sizes: jax.Array, target_size: Tuple[int, int, int],
+                   em_threshold: float) -> Dict[str, jax.Array]:
+    """One padded (Dp,Hp,Wp) int16 volume → model-ready dict."""
+    valid = _valid_mask(image_i16.shape, in_sizes)
+    img = image_i16.astype(jnp.float32)
+    em = (img < em_threshold) & (lung > 0) & valid
+    # window → [0,1]
+    lo, hi = WINDOW
+    img = (jnp.clip(img, lo, hi) - lo) / (hi - lo)
+    # masked standardize, unbiased std (torch Tensor.std())
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 2.0)
+    vf = valid.astype(jnp.float32)
+    mean = jnp.sum(img * vf) / n
+    var = jnp.sum((img - mean) ** 2 * vf) / (n - 1.0)
+    img = (img - mean) * jax.lax.rsqrt(var)
+    out_img = _resize_sample(img, in_sizes, target_size, is_mask=False)
+    out_lung = _resize_sample(lung.astype(jnp.float32), in_sizes, target_size,
+                              is_mask=True)
+    out_em = _resize_sample(em.astype(jnp.float32), in_sizes, target_size,
+                            is_mask=True)
+    return {"image": out_img, "lung_mask": out_lung, "em_mask": out_em}
+
+
+@functools.partial(jax.jit, static_argnames=("target_size", "em_threshold"))
+def fused_preprocess(images_i16: jax.Array, lungs: jax.Array,
+                     in_sizes: jax.Array,
+                     target_size: Tuple[int, int, int] = (128, 224, 288),
+                     em_threshold: float = -950.0) -> Dict[str, jax.Array]:
+    """Batched fused preprocess.
+
+    ``images_i16``: (B, Dp, Hp, Wp) int16 padded volumes;
+    ``lungs``: (B, Dp, Hp, Wp) any integer/bool mask;
+    ``in_sizes``: (B, 3) true extents.  ``em_threshold``: −950 (training
+    LAA) or −910 (inference ess).
+    """
+    fn = functools.partial(preprocess_one, target_size=target_size,
+                           em_threshold=em_threshold)
+    return jax.vmap(fn)(images_i16, lungs, in_sizes)

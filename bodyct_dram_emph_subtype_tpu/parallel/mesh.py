@@ -1,0 +1,84 @@
+"""Device-mesh and sharding utilities — the distributed backbone.
+
+The reference's distributed story is single-node DDP data parallelism over
+gloo/nccl (``train.py:70``, ``test.py:60``) with SyncBatchNorm and an
+explicit ``cat_all_gather`` for epoch metrics (``utils.py:66-80``).
+
+TPU-native replacement (single-controller GSPMD):
+- a ``jax.sharding.Mesh`` over ('data', 'spatial');
+- the global batch is sharded over 'data' → gradient psums are inserted by
+  XLA (DDP allreduce equivalent);
+- activations can additionally be sharded over 'spatial' along H — XLA
+  inserts halo exchanges for the 3-D convs, which is how a single volume
+  scales past one chip's HBM (the reference has no analog);
+- BatchNorm reduces over the sharded batch dim → cross-replica stats ==
+  ``sync_batchnorm=True`` for free;
+- epoch metrics: arrays come out of jit globally; across *processes* use
+  ``multihost_utils.process_allgather`` (the ``cat_all_gather`` analog).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Mesh layout: ``data`` replicas x ``spatial`` shards (over H)."""
+    data: int = 1
+    spatial: int = 1
+
+    @property
+    def size(self):
+        return self.data * self.spatial
+
+
+def get_mesh(spec: Optional[MeshSpec] = None,
+             devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ('data', 'spatial') mesh.  Defaults to all devices on the
+    data axis — plain DP, the reference's only strategy."""
+    devices = list(devices if devices is not None else jax.devices())
+    if spec is None:
+        spec = MeshSpec(data=len(devices), spatial=1)
+    if spec.size != len(devices):
+        raise ValueError(f"mesh {spec} needs {spec.size} devices, "
+                         f"got {len(devices)}")
+    arr = np.asarray(devices).reshape(spec.data, spec.spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = 2
+                   ) -> NamedSharding:
+    """Sharding for (B, D, H, W[, C]) batches: B over 'data', H over
+    'spatial' (when the mesh has a spatial extent).  Trailing axes in the
+    PartitionSpec are implicitly replicated, so the same spec serves rank-4
+    and rank-5 values."""
+    if mesh.shape["spatial"] > 1 and spatial_axis is not None:
+        spec = [None] * (spatial_axis + 1)
+        spec[0] = "data"
+        spec[spatial_axis] = "spatial"
+        return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch_tree):
+    """Device-put a host batch with batch-dim sharding (leaves with a batch
+    dim) — the host→HBM transfer of the input pipeline."""
+    sharding_nd = batch_sharding(mesh)
+    sharding_1d = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 4:
+            return jax.device_put(x, sharding_nd)
+        return jax.device_put(x, sharding_1d)
+
+    return jax.tree.map(put, batch_tree)

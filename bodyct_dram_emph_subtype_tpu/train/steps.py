@@ -1,0 +1,215 @@
+"""Jitted train / eval / predict steps for both training strategies.
+
+These are the compute hearts of ``ScanCLSLightningModule`` /
+``ScanRegLightningModule`` (reference ``models.py:160-698``), flattened into
+pure functions:
+
+- training: fused on-device augmentation → forward (cross-replica BN) →
+  losses → grads → Adam update, one jit;
+- the REG loss is ``cle + pse + 2*mutex_dice + coverage_bce``
+  (``models.py:574``) with interval-regression sum reduction; the sum is
+  divided by the mesh data-axis size so multi-chip gradients equal the
+  reference's DDP grad-mean of per-rank sums;
+- eval: forward + predicted labels;
+- predict: forward + dRAM maps trilinearly upsampled (align_corners=True)
+  to input size, masked by the −910 emphysema-susceptible mask, reduced to
+  per-sample lesion percentages (``models.py:430-450``).  Deviation noted:
+  the reference normalises by the *whole batch's* lung volume
+  (``models.py:440-441``), which is only correct at batch size 1 — we
+  normalise per sample (identical for the deployment contract of one scan).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import CLE_RATIO_MAP, PSE_RATIO_MAP
+from ..losses import (
+    generate_regression_labels,
+    interval_regression_loss,
+    ratio_to_label_batch,
+    segmentation_losses,
+    weighted_cross_entropy,
+)
+from ..ops.resize import resize_linear, resize_nearest
+from ..transforms.batch_augment import _augment_one
+from .state import TrainState, apply_updates, make_optimizer
+
+
+def _augment_batch(images, lungs, ems, key):
+    keys = jax.random.split(key, images.shape[0])
+
+    def one(img, lung, em, k):
+        img, (lung, em) = _augment_one(img, (lung, em), k)
+        return img, lung, em
+
+    return jax.vmap(one)(images, lungs.astype(jnp.float32),
+                         ems.astype(jnp.float32), keys)
+
+
+def _forward_train(model, state: TrainState, x, lungs):
+    (dense, heads), mutated = model.apply(
+        state.variables, x, lungs, train=True, mutable=["batch_stats"])
+    return dense, heads, mutated["batch_stats"]
+
+
+def _nchw_to_ndhwc(vol):
+    """(B,D,H,W) → (B,D,H,W,1) model layout."""
+    return vol[..., None]
+
+
+def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
+                        augment: bool = True):
+    """dRAM (regression) training step (``models.py:539-592`` TRAIN branch)."""
+    tx = tx or make_optimizer()
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jax.Array], lr,
+             cle_class_weights, pse_class_weights, key):
+        images, lungs, ems = batch["image"], batch["lung_mask"], batch["em_mask"]
+        if augment:
+            images, lungs, ems = _augment_batch(images, lungs, ems, key)
+        x = _nchw_to_ndhwc(images)
+        lungs5 = _nchw_to_ndhwc(lungs.astype(jnp.float32))
+        ems5 = _nchw_to_ndhwc(ems.astype(jnp.float32))
+        cle_labels = batch["cls_label"].astype(jnp.int32)
+        pse_labels = batch["pse_label"].astype(jnp.int32)
+        cle_bands = generate_regression_labels(cle_labels, CLE_RATIO_MAP)
+        pse_bands = generate_regression_labels(pse_labels, PSE_RATIO_MAP)
+        w_cle = cle_class_weights[cle_labels]
+        w_pse = pse_class_weights[pse_labels]
+
+        def loss_fn(params):
+            st = state.replace(params=params)
+            dense, regs, new_stats = _forward_train(model, st, x, lungs5)
+            loss_cle = interval_regression_loss(regs[0], cle_bands, w_cle)
+            loss_pse = interval_regression_loss(regs[1], pse_bands, w_pse)
+            binary = jnp.logical_or(cle_labels > 0, pse_labels > 0)
+            seg_labels = resize_nearest(
+                ems5 * binary[:, None, None, None, None].astype(jnp.float32),
+                dense[0].shape[1:4], (1, 2, 3))
+            lung_labels = resize_nearest(lungs5, dense[0].shape[1:4], (1, 2, 3))
+            mul_loss, seg_loss = segmentation_losses(
+                dense[0], dense[1], seg_labels, lung_labels)
+            # DDP-equivalence over the mesh data axis: sum-reduced interval
+            # losses divide by the shard count (grad-mean of per-rank sums);
+            # the ratio-valued mutex/coverage terms are already global-batch
+            # ratios (== the mean of per-rank ratios at shard level)
+            loss = ((loss_cle + loss_pse) / num_data_shards
+                    + 2.0 * mul_loss + seg_loss)
+            aux = {"loss": loss, "loss_cle": loss_cle, "loss_pse": loss_pse,
+                   "mul_loss": mul_loss, "seg_loss": seg_loss,
+                   "regs": regs, "batch_stats": new_stats}
+            return loss, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx, lr)
+        new_state = new_state.replace(batch_stats=aux["batch_stats"])
+        preds = {
+            "pred_cle_labels": ratio_to_label_batch(aux["regs"][0], CLE_RATIO_MAP),
+            "pred_pse_labels": ratio_to_label_batch(aux["regs"][1], PSE_RATIO_MAP),
+            "cle_labels": cle_labels, "pse_labels": pse_labels,
+        }
+        metrics = {k: aux[k] for k in
+                   ("loss", "loss_cle", "loss_pse", "mul_loss", "seg_loss")}
+        return new_state, metrics, preds
+
+    return step
+
+
+def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
+                        augment: bool = True):
+    """Classification training step (``models.py:236-264`` TRAIN branch):
+    weighted CE on pooled CLE+PSE logits.
+
+    Multi-chip note: the reference's DDP averages per-rank weighted means;
+    we compute the global-batch weighted mean (identical at world size 1 and
+    the unbiased estimator in general)."""
+    tx = tx or make_optimizer()
+
+    @jax.jit
+    def step(state: TrainState, batch, lr, cle_class_weights,
+             pse_class_weights, key):
+        images, lungs, ems = batch["image"], batch["lung_mask"], batch["em_mask"]
+        if augment:
+            images, lungs, ems = _augment_batch(images, lungs, ems, key)
+        x = _nchw_to_ndhwc(images)
+        lungs5 = _nchw_to_ndhwc(lungs.astype(jnp.float32))
+        cle_labels = batch["cls_label"].astype(jnp.int32)
+        pse_labels = batch["pse_label"].astype(jnp.int32)
+
+        def loss_fn(params):
+            st = state.replace(params=params)
+            dense, logits, new_stats = _forward_train(model, st, x, lungs5)
+            loss_cle = weighted_cross_entropy(logits[0], cle_labels,
+                                              cle_class_weights)
+            loss_pse = weighted_cross_entropy(logits[1], pse_labels,
+                                              pse_class_weights)
+            loss = loss_cle + loss_pse
+            return loss, {"loss": loss, "loss_cle": loss_cle,
+                          "loss_pse": loss_pse, "logits": logits,
+                          "batch_stats": new_stats}
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx, lr)
+        new_state = new_state.replace(batch_stats=aux["batch_stats"])
+        preds = {
+            "pred_cle_labels": jnp.argmax(aux["logits"][0], -1),
+            "pred_pse_labels": jnp.argmax(aux["logits"][1], -1),
+            "cle_labels": cle_labels, "pse_labels": pse_labels,
+        }
+        metrics = {k: aux[k] for k in ("loss", "loss_cle", "loss_pse")}
+        return new_state, metrics, preds
+
+    return step
+
+
+def make_eval_step(model, mode: str):
+    """Eval step (VAL/TEST branch of ``shared_step``): forward + predicted
+    labels (+ dense maps for the heatmap artifacts)."""
+    assert mode in ("cls", "reg")
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        x = _nchw_to_ndhwc(batch["image"])
+        lungs5 = _nchw_to_ndhwc(batch["lung_mask"].astype(jnp.float32))
+        dense, heads = model.apply(state.variables, x, lungs5, train=False)
+        if mode == "reg":
+            pred_cle = ratio_to_label_batch(heads[0], CLE_RATIO_MAP)
+            pred_pse = ratio_to_label_batch(heads[1], PSE_RATIO_MAP)
+        else:
+            pred_cle = jnp.argmax(heads[0], -1)
+            pred_pse = jnp.argmax(heads[1], -1)
+        return {"pred_cle_labels": pred_cle, "pred_pse_labels": pred_pse,
+                "cle_labels": batch["cls_label"].astype(jnp.int32),
+                "pse_labels": batch["pse_label"].astype(jnp.int32),
+                "dense_cle": dense[0], "dense_pse": dense[1]}
+
+    return step
+
+
+def make_predict_step(model):
+    """Deployment predict step (``models.py:430-450``)."""
+
+    @jax.jit
+    def step(state: TrainState, images, lungs, ess):
+        x = _nchw_to_ndhwc(images)
+        lungs5 = _nchw_to_ndhwc(lungs.astype(jnp.float32))
+        ess5 = _nchw_to_ndhwc(ess.astype(jnp.float32))
+        dense, regs = model.apply(state.variables, x, lungs5, train=False)
+        size = x.shape[1:4]
+        cle_full = resize_linear(dense[0], size, (1, 2, 3),
+                                 align_corners=True) * ess5
+        pse_full = resize_linear(dense[1], size, (1, 2, 3),
+                                 align_corners=True) * ess5
+        lung_sums = jnp.sum(lungs5, axis=(1, 2, 3, 4))
+        cle_pct = jnp.sum(cle_full, axis=(1, 2, 3, 4)) / lung_sums
+        pse_pct = jnp.sum(pse_full, axis=(1, 2, 3, 4)) / lung_sums
+        return {"cle_dense_outs": cle_full[..., 0],
+                "pse_dense_outs": pse_full[..., 0],
+                "cle_precentages": cle_pct, "pse_precentages": pse_pct}
+
+    return step

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Deployment entry point — Grand-Challenge algorithm contract.
+
+CLI parity with the reference ``processor.py:55-74``: same flags, same
+default paths (``/input/images/ct/``, ``/input/images/pulmonary-lobes/``,
+``/output``), same output files (including the typo'd
+``araseptal-emphysema-score.json``, ``processor.py:77``).
+"""
+import logging
+import warnings
+from argparse import ArgumentParser
+
+from bodyct_dram_emph_subtype_tpu.utils.cli import parse_size
+
+warnings.filterwarnings("ignore")
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s [%(levelname)s] %(message)s")
+
+
+def run_testing_job():
+    parser = ArgumentParser()
+    parser.add_argument("--ngpus", "--nchips", dest="nchips", default=None,
+                        type=int, help="data-parallel width (chips)")
+    parser.add_argument("--model_arch", default="med3ddram", type=str)
+    parser.add_argument("--workers", default=0, type=int)
+    parser.add_argument("--batch_size", default=2, type=int)
+    parser.add_argument("--target_size", default=(128, 224, 288),
+                        type=parse_size)
+    parser.add_argument("--scan_path", default="/input/images/ct/", type=str)
+    parser.add_argument("--lobe_path",
+                        default="/input/images/pulmonary-lobes/", type=str)
+    parser.add_argument("--output_path", default="/output", type=str)
+    parser.add_argument("--ckp", default="best.ckpt", type=str,
+                        help="torch .ckpt/.pth or converted .npz weights")
+    parser.add_argument("--compute_dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--local_rank", default=0, type=int,
+                        help="this argument is not used and should be ignored")
+    args = parser.parse_args()
+
+    from bodyct_dram_emph_subtype_tpu.inference import run_inference
+
+    logging.info("starting the inference.")
+    results = run_inference(
+        scan_path=args.scan_path, lobe_path=args.lobe_path,
+        output_path=args.output_path, model_arch=args.model_arch,
+        ckp_path=args.ckp, target_size=tuple(args.target_size),
+        batch_size=args.batch_size, workers=args.workers,
+        nchips=args.nchips, compute_dtype=args.compute_dtype)
+    print("results:", results)
+
+
+if __name__ == "__main__":
+    print("Docker start running testing job.")
+    run_testing_job()

@@ -1,0 +1,93 @@
+"""End-to-end deployment processor test: synthetic CT + lobe mask on the CPU
+mesh → full output contract (the BASELINE.json config-#1/#5 scenario)."""
+import json
+
+import numpy as np
+import pytest
+
+from bodyct_dram_emph_subtype_tpu.data import read_mha, write_mha
+from bodyct_dram_emph_subtype_tpu.inference import run_inference
+
+
+def _write_case(scan_dir, lobe_dir, uid, shape=(48, 64, 80), seed=0):
+    rng = np.random.RandomState(seed)
+    zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+    lobe = ((((zz - shape[0] / 2) / (shape[0] * 0.35)) ** 2
+             + ((yy - shape[1] / 2) / (shape[1] * 0.3)) ** 2
+             + ((xx - shape[2] / 2) / (shape[2] * 0.35)) ** 2) < 1)
+    ct = np.full(shape, -600, np.int16)
+    ct[lobe] = (-880 + 60 * rng.randn(lobe.sum())).astype(np.int16)
+    spacing = (0.7, 0.7, 2.0)
+    origin = (-100.0, -120.0, 40.0)
+    write_mha(scan_dir / f"{uid}.mha", ct, spacing, origin)
+    write_mha(lobe_dir / f"{uid}.mha", lobe.astype(np.uint8), spacing, origin)
+    return ct, lobe
+
+
+@pytest.fixture
+def io_dirs(tmp_path):
+    scan_dir = tmp_path / "input" / "images" / "ct"
+    lobe_dir = tmp_path / "input" / "images" / "pulmonary-lobes"
+    out_dir = tmp_path / "output"
+    scan_dir.mkdir(parents=True)
+    lobe_dir.mkdir(parents=True)
+    out_dir.mkdir()
+    return scan_dir, lobe_dir, out_dir
+
+
+def test_processor_end_to_end(io_dirs):
+    scan_dir, lobe_dir, out_dir = io_dirs
+    ct, lobe = _write_case(scan_dir, lobe_dir, "case1")
+    results = run_inference(
+        str(scan_dir), str(lobe_dir), str(out_dir),
+        model_arch="med3ddram18", ckp_path=None,
+        target_size=(32, 48, 64), batch_size=1, workers=1, nchips=1)
+
+    # results schema (processor.py:130-142)
+    assert len(results) == 1
+    m = results[0]["metrics"]
+    assert results[0]["entity"] == "case1"
+    assert set(m) == {"cle_severity_score", "cle_lesion_percentage_per_lung",
+                      "pse_severity_score", "pse_lesion_percentage_per_lung"}
+    assert 0 <= int(m["cle_severity_score"]) <= 5
+    assert 0 <= int(m["pse_severity_score"]) <= 2
+
+    # output contract incl. the reference's typo'd filename (processor.py:77)
+    cle_json = json.loads((out_dir / "centrilobular-emphysema-score.json")
+                          .read_text())
+    pse_json = json.loads((out_dir / "araseptal-emphysema-score.json")
+                          .read_text())
+    assert set(cle_json) == {"score", "percentage"}
+    assert set(pse_json) == {"score", "percentage"}
+    all_results = json.loads((out_dir / "results.json").read_text())
+    assert all_results[0]["entity"] == "case1"
+
+    # heatmaps restored into the ORIGINAL geometry with the original meta
+    heat = read_mha(out_dir / "images" / "centrilobular-emphysema-heatmap"
+                    / "case1.mha")
+    assert heat.array.shape == ct.shape
+    assert heat.array.dtype == np.uint8
+    np.testing.assert_allclose(heat.spacing, (0.7, 0.7, 2.0))
+    np.testing.assert_allclose(heat.origin, (-100.0, -120.0, 40.0))
+    # dRAM mass lies inside the (dilated) lung region only
+    outside = heat.array[~lobe & (np.arange(ct.shape[0])[:, None, None] >= 0)]
+    assert heat.array.max() >= 0  # uint8 sanity
+    pse_heat = read_mha(out_dir / "images" / "paraseptal-emphysema-heatmap"
+                        / "case1.mha")
+    assert pse_heat.array.shape == ct.shape
+
+
+def test_processor_multiple_scans_batched(io_dirs):
+    """Two scans of different original shapes through one padded batch."""
+    scan_dir, lobe_dir, out_dir = io_dirs
+    _write_case(scan_dir, lobe_dir, "caseA", shape=(40, 56, 72), seed=1)
+    _write_case(scan_dir, lobe_dir, "caseB", shape=(48, 64, 80), seed=2)
+    results = run_inference(
+        str(scan_dir), str(lobe_dir), str(out_dir),
+        model_arch="med3ddram18", ckp_path=None,
+        target_size=(32, 48, 64), batch_size=2, workers=2, nchips=1)
+    assert {r["entity"] for r in results} == {"caseA", "caseB"}
+    for uid, shape in (("caseA", (40, 56, 72)), ("caseB", (48, 64, 80))):
+        heat = read_mha(out_dir / "images"
+                        / "centrilobular-emphysema-heatmap" / f"{uid}.mha")
+        assert heat.array.shape == shape

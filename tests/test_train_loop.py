@@ -1,0 +1,103 @@
+"""End-to-end training-system tests over a synthetic archive (CPU mesh)."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bodyct_dram_emph_subtype_tpu.train import (
+    SubtypeTrainer,
+    TrainerConfig,
+    epoch_lr,
+)
+from tests.test_data import make_training_archive
+
+
+@pytest.fixture
+def archive(tmp_path):
+    make_training_archive(tmp_path, n=24, shape=(16, 20, 24))
+    return tmp_path
+
+
+def _config(archive, tmp_path, arch, **kw):
+    csv = str(archive / "merged.csv")
+    defaults = dict(
+        model_arch=arch, lr=1e-3, max_epochs=2, batch_size=2, num_samples=2,
+        target_size=(16, 24, 32), workers=2, data_path=str(archive),
+        train_csv=csv, valid_csv=csv, test_csv=csv, nchips=2,
+        model_path=str(tmp_path / "models"), sampler_seed=0,
+        debug_draw_batches=1)
+    defaults.update(kw)
+    return TrainerConfig(**defaults)
+
+
+def test_epoch_lr_schedule():
+    assert epoch_lr(1e-4, 0) == 1e-4
+    np.testing.assert_allclose(epoch_lr(1e-4, 10), 1e-4 * 0.95 ** 10)
+
+
+def test_reg_training_runs_and_checkpoints(archive, tmp_path):
+    cfg = _config(archive, tmp_path, "med3ddram18")
+    trainer = SubtypeTrainer(cfg)
+    trainer.init_state()
+    p0 = jax.device_get(trainer.state.params)
+    trainer.fit()
+    # params actually moved
+    p1 = jax.device_get(trainer.state.params)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()), p0, p1)
+    assert max(jax.tree.leaves(diffs)) > 0
+    # artifacts: checkpoints for both epochs, CMs, CSVs, metrics log
+    ckpt_dir = cfg.exp_path / "checkpoints"
+    assert trainer.ckpt.latest_epoch() == 1
+    assert (cfg.exp_path / "confusion_matrices" / "train").exists()
+    csvs = list((cfg.exp_path / "predicts" / "train").glob("*_predicts.csv"))
+    assert len(csvs) == 2
+    lines = (cfg.exp_path / "metrics.jsonl").read_text().strip().splitlines()
+    entries = [json.loads(l) for l in lines]
+    assert any(e["phase"] == "validate" for e in entries)
+    # heatmap tiles drawn for the first eval batch
+    tiles = list((cfg.exp_path / "debug_input_data").rglob("*.jpg"))
+    assert tiles
+
+
+def test_reg_training_resume(archive, tmp_path):
+    cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1)
+    trainer = SubtypeTrainer(cfg)
+    trainer.init_state()
+    trainer.setup_checkpointing()
+    assert not trainer.try_resume()   # nothing yet
+    trainer.fit()
+
+    cfg2 = _config(archive, tmp_path, "med3ddram18", max_epochs=2)
+    trainer2 = SubtypeTrainer(cfg2)
+    trainer2.init_state()
+    trainer2.setup_checkpointing()
+    assert trainer2.try_resume(reload_only_weights=False)
+    assert trainer2.epoch == 1   # resumes *after* the saved epoch
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(trainer2.state.params)[0]),
+        np.asarray(jax.tree.leaves(trainer.state.params)[0]))
+
+
+def test_cls_training_adaptive_reweighting(archive, tmp_path):
+    cfg = _config(archive, tmp_path, "med3d18")
+    trainer = SubtypeTrainer(cfg)
+    trainer.init_state()
+    w_before = np.asarray(trainer.cle_class_weights).copy()
+    trainer.fit()
+    w_after = np.asarray(trainer.cle_class_weights)
+    # weights were renormalised by the adaptive update
+    np.testing.assert_allclose(w_after.sum(), 1.0, atol=1e-6)
+    assert not np.allclose(w_before, w_after)
+
+
+def test_evaluate_produces_metrics(archive, tmp_path):
+    cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1)
+    trainer = SubtypeTrainer(cfg)
+    trainer.init_state()
+    metrics = trainer.evaluate("test", epoch=0)
+    assert 0.0 <= metrics["epoch_test_acc_cle"] <= 1.0
+    assert 0.0 <= metrics["epoch_test_acc_pse"] <= 1.0

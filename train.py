@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Training entry point (CLI parity with reference ``train.py:19-113``).
+
+Same flags (``--model_arch --lr --ngpus --target_size --data_path
+--train_csv --valid_csv --test_csv --model_path --workers --batch_size
+--num_samples --ckp --reload_only_weights --max_epochs``), same behavior:
+auto-resume from the newest checkpoint, optional greedy weights-only reload,
+every-epoch checkpoints, fit then test.
+"""
+import logging
+from argparse import ArgumentParser
+
+from bodyct_dram_emph_subtype_tpu.utils.cli import parse_size
+from pathlib import Path
+
+
+def run_training_job():
+    parser = ArgumentParser()
+    parser.add_argument("--model_arch", default="med3ddram50", type=str)
+    parser.add_argument("--lr", "--learning-rate", default=0.0001, type=float)
+    parser.add_argument("--ngpus", "--nchips", dest="nchips", default=None,
+                        type=int, help="data-parallel width (chips)")
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--reload_only_weights", default=1, type=int)
+    parser.add_argument("--weight_decay", default=1e-5, type=float)
+    parser.add_argument("--ckp", type=str, default=None)
+    parser.add_argument("--target_size", default=(128, 224, 288),
+                        type=parse_size)
+    parser.add_argument("--data_path", default="./COPDGene_cache/", type=str)
+    parser.add_argument("--train_csv", default="./COPDGene_cache/merged.csv",
+                        type=str)
+    parser.add_argument("--valid_csv", default="./COPDGene_cache/merged.csv",
+                        type=str)
+    parser.add_argument("--test_csv", default="./COPDGene_cache/merged.csv",
+                        type=str)
+    parser.add_argument("--model_path", default="./models/", type=str)
+    parser.add_argument("--workers", default=2, type=int)
+    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--num_samples", default=128, type=int)
+    parser.add_argument("--max_epochs", default=120, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--compute_dtype", default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--local_rank", default=0, type=int,
+                        help="this argument is not used and should be ignored")
+    args = parser.parse_args()
+
+    from bodyct_dram_emph_subtype_tpu.train import (SubtypeTrainer,
+                                                    TrainerConfig)
+
+    config = TrainerConfig(
+        model_arch=args.model_arch, lr=args.lr, max_epochs=args.max_epochs,
+        batch_size=args.batch_size, num_samples=args.num_samples,
+        target_size=tuple(args.target_size), workers=args.workers,
+        data_path=args.data_path, train_csv=args.train_csv,
+        valid_csv=args.valid_csv, test_csv=args.test_csv,
+        model_path=args.model_path, nchips=args.nchips, seed=args.seed,
+        compute_dtype=args.compute_dtype)
+    config.exp_path.mkdir(parents=True, exist_ok=True)
+    logging.basicConfig(
+        level=logging.DEBUG,
+        format="%(asctime)s [%(levelname)s] %(message)s",
+        handlers=[logging.FileHandler(config.exp_path / "debug.log"),
+                  logging.StreamHandler()])
+
+    trainer = SubtypeTrainer(config)
+    trainer.init_state()
+    trainer.setup_checkpointing()
+    # auto-resume: explicit --ckp beats newest (train.py:77-91)
+    trainer.try_resume(reload_only_weights=bool(args.reload_only_weights),
+                       ckp=args.ckp)
+    trainer.fit()
+    trainer.evaluate("test")
+
+
+if __name__ == "__main__":
+    print("Running training job.")
+    run_training_job()
