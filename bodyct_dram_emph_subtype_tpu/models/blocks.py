@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -78,6 +79,11 @@ def conv3d(features: int, kernel: int | Tuple[int, int, int], stride=1,
     torch pads with ``padding=dilation`` for k=3 dilated convs
     (``med3d.py:91-100``) and ``padding=3`` for the k=7 stem; the general
     rule used throughout the reference is pad = dilation * (k-1) // 2.
+
+    Dilated convs (the trunk's layer3/layer4) lower through space-to-batch
+    (:class:`DilatedConv3d`): XLA's direct dilated-conv path on TPU is
+    pathologically slow (measured 8-2600x slower at the model's shapes),
+    while d^3 interleaved sub-grid dense convs ride the MXU.
     """
     if isinstance(kernel, int):
         kernel = (kernel,) * 3
@@ -85,11 +91,74 @@ def conv3d(features: int, kernel: int | Tuple[int, int, int], stride=1,
         stride = (stride,) * 3
     if isinstance(dilation, int):
         dilation = (dilation,) * 3
+    if any(d > 1 for d in dilation):
+        assert all(s == 1 for s in stride), "dilated convs are stride-1 here"
+        return DilatedConv3d(features, kernel, dilation[0], bias, name=name,
+                             dtype=dtype)
     padding = [(d * (k - 1) // 2, d * (k - 1) // 2)
                for k, d in zip(kernel, dilation)]
     return nn.Conv(features, kernel_size=kernel, strides=stride,
                    padding=padding, kernel_dilation=dilation, use_bias=bias,
                    kernel_init=kaiming_normal_fan_out, name=name, dtype=dtype)
+
+
+class DilatedConv3d(nn.Module):
+    """Stride-1 dilated 3-D conv via space-to-batch.
+
+    out[x] = Σ_k w[k]·in[x + d·(k−1)] couples only voxels on the same
+    residue class mod d per axis, so the conv decomposes into d³ independent
+    dense 3³ convs over interleaved sub-grids (batched together → one big
+    MXU-friendly conv).  Spatial dims are zero-padded up to multiples of d
+    and the output cropped back — identical numerics to torch's
+    ``Conv3d(dilation=d, padding=d)`` (the padded voxels read the same
+    zeros the conv padding would).
+
+    Param layout matches ``nn.Conv`` (kernel DHWIO + optional bias) so the
+    torch-checkpoint importer is oblivious to the lowering.
+    """
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dilation: int = 2
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dilation
+        kd, kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal_fan_out,
+                            (*self.kernel_size, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+
+        B, D, H, W, C = x.shape
+        pads = [(-s) % d for s in (D, H, W)]
+        if any(pads):
+            x = jnp.pad(x, [(0, 0), (0, pads[0]), (0, pads[1]),
+                            (0, pads[2]), (0, 0)])
+        Dp, Hp, Wp = x.shape[1:4]
+        xs = x.reshape(B, Dp // d, d, Hp // d, d, Wp // d, d, C)
+        xs = xs.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+        xs = xs.reshape(B * d * d * d, Dp // d, Hp // d, Wp // d, C)
+        out = jax.lax.conv_general_dilated(
+            xs, kernel, (1, 1, 1),
+            [( (kd - 1) // 2, (kd - 1) // 2),
+             ((kh - 1) // 2, (kh - 1) // 2),
+             ((kw - 1) // 2, (kw - 1) // 2)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        out = out.reshape(B, d, d, d, Dp // d, Hp // d, Wp // d,
+                          self.features)
+        out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+        out = out.reshape(B, Dp, Hp, Wp, self.features)
+        if any(pads):
+            out = out[:, :D, :H, :W, :]
+        if bias is not None:
+            out = out + bias.astype(dtype)
+        return out
 
 
 def max_pool_3d_k3s2p1(x):

@@ -84,6 +84,8 @@ class TrainerConfig:
     check_val_every_n_epoch: int = 1
     sampler_seed: Optional[int] = None   # None == wall-clock (reference)
     compute_dtype: str = "float32"       # "bfloat16" for the fast path
+    profile: bool = False                # jax.profiler trace of epoch 0
+    debug_nans: bool = False             # opt-in NaN checking
 
     @property
     def exp_name(self):
@@ -125,6 +127,21 @@ class SubtypeTrainer:
         self.pse_class_weights = np.ones(3) / 3
         self.epoch = 0
         self.ckpt: Optional[CheckpointManager] = None
+        self._tb = None
+
+    @property
+    def tb_writer(self):
+        """Lazy TensorBoard writer on process 0 (parity with the reference's
+        ``TensorBoardLogger`` in ``tb_logs/``, ``utils.py:261-263``)."""
+        if self._tb is None and jax.process_index() == 0:
+            try:
+                from flax.metrics import tensorboard
+                self._tb = tensorboard.SummaryWriter(
+                    str(self.config.exp_path / "tb_logs"))
+            except Exception as exc:  # tensorboard optional
+                logger.warning("tensorboard unavailable: %s", exc)
+                self._tb = False
+        return self._tb or None
 
     # ------------------------------------------------------------------ setup
     def init_state(self, example_batch: Optional[Dict[str, np.ndarray]] = None):
@@ -228,6 +245,8 @@ class SubtypeTrainer:
     # ------------------------------------------------------------------ train
     def fit(self):
         cfg = self.config
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if self.state is None:
             self.init_state()
         if self.ckpt is None:
@@ -236,11 +255,21 @@ class SubtypeTrainer:
         for epoch in range(self.epoch, cfg.max_epochs):
             self.epoch = epoch
             t0 = time.time()
-            metrics, outputs = self._run_train_epoch(epoch, key)
+            if cfg.profile and epoch == 0:
+                trace_dir = str(cfg.exp_path / "profile")
+                with jax.profiler.trace(trace_dir):
+                    metrics, outputs = self._run_train_epoch(epoch, key)
+                logger.info("profiler trace written to %s", trace_dir)
+            else:
+                metrics, outputs = self._run_train_epoch(epoch, key)
             self._epoch_end(outputs, TRAIN_PHASE, epoch)
             logger.info("epoch %d done in %.1fs %s", epoch,
                         time.time() - t0,
                         {k: round(float(v), 4) for k, v in metrics.items()})
+            if self.tb_writer:
+                for k, v in metrics.items():
+                    self.tb_writer.scalar(f"{TRAIN_PHASE}_{k}", float(v),
+                                          epoch)
             self.ckpt.save(epoch, jax.device_get(self.state), extras={
                 "cle_class_weights": np.asarray(self.cle_class_weights),
                 "pse_class_weights": np.asarray(self.pse_class_weights),
@@ -331,6 +360,9 @@ class SubtypeTrainer:
         metrics = {f"epoch_{phase}_acc_cle": acc_cle,
                    f"epoch_{phase}_acc_pse": acc_pse}
         self._append_metrics_log(phase, epoch, metrics)
+        if self.tb_writer:
+            for k, v in metrics.items():
+                self.tb_writer.scalar(k, v, epoch)
         return metrics
 
     def _log_confusion_matrix(self, y_pred, y_true, phase, name, n_classes,
@@ -342,6 +374,9 @@ class SubtypeTrainer:
         out_dir = self.config.exp_path / "confusion_matrices" / phase
         out_dir.mkdir(parents=True, exist_ok=True)
         save_image(out_dir / f"{phase}_epoch_{epoch}_cm_{name}.png", image)
+        if self.tb_writer:
+            self.tb_writer.image(f"{phase}_confusion_matrix_{name}", image,
+                                 epoch)
         # adaptive class re-weighting: CLS strategy, training phase only
         # (models.py:369-379)
         if phase == TRAIN_PHASE and self.mode == "cls":

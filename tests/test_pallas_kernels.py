@@ -1,0 +1,30 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from bodyct_dram_emph_subtype_tpu.ops.masked_pool import lung_masked_fraction
+from bodyct_dram_emph_subtype_tpu.ops.pallas_kernels import (
+    lung_masked_fraction_pallas,
+    masked_sums_pallas,
+)
+
+
+def test_masked_sums_matches_jnp(rng):
+    dense = rng.rand(2, 6, 16, 128, 2).astype(np.float32)
+    lung = (rng.rand(2, 6, 16, 128, 1) > 0.4).astype(np.float32)
+    num, den = masked_sums_pallas(jnp.asarray(dense), jnp.asarray(lung),
+                                  interpret=True)
+    want_num = (dense * lung).sum(axis=(1, 2, 3))
+    want_den = lung.sum(axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(np.asarray(num), want_num, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(den), want_den, rtol=1e-6)
+
+
+def test_fraction_matches_reference_op(rng):
+    dense = rng.rand(1, 4, 8, 128, 1).astype(np.float32)
+    lung = (rng.rand(1, 4, 8, 128, 1) > 0.3).astype(np.float32)
+    got = lung_masked_fraction_pallas(jnp.asarray(dense), jnp.asarray(lung),
+                                      interpret=True)
+    want = lung_masked_fraction(jnp.asarray(dense), jnp.asarray(lung))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)

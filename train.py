@@ -41,6 +41,9 @@ def run_training_job():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--profile", action="store_true",
+                        help="jax.profiler trace of the first epoch")
+    parser.add_argument("--debug_nans", action="store_true")
     parser.add_argument("--local_rank", default=0, type=int,
                         help="this argument is not used and should be ignored")
     args = parser.parse_args()
@@ -55,7 +58,8 @@ def run_training_job():
         data_path=args.data_path, train_csv=args.train_csv,
         valid_csv=args.valid_csv, test_csv=args.test_csv,
         model_path=args.model_path, nchips=args.nchips, seed=args.seed,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, profile=args.profile,
+        debug_nans=args.debug_nans)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
