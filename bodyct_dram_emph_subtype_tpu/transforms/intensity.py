@@ -48,14 +48,20 @@ class Standardize(ImageOnlyTransform):
 
 class ContrastStretching(ImageOnlyTransform):
     """Sigmoid contrast stretch (reference ``intensity_transforms.py:27-77``;
-    unused in the training pipeline but part of the public transform set)."""
+    unused in the training pipeline but part of the public transform set).
+
+    ``spatial_dimension_index >= 0`` applies the stretch independently per
+    slice of that axis (the reference's channel-wise mode,
+    ``intensity_transforms.py:48-57``)."""
 
     def __init__(self, p=0.5, always_apply=False, gamma=(1.0, 3.0),
-                 middle_point=(0.3, 0.7), rescale=False):
+                 middle_point=(0.3, 0.7), rescale=False,
+                 spatial_dimension_index=-1):
         super().__init__(p, always_apply)
         self.gamma = gamma
         self.middle_point = middle_point
         self.rescale = rescale
+        self.spatial_dimension_index = spatial_dimension_index
 
     def get_params(self, data_dict, rng):
         gamma = (rng.uniform(*self.gamma)
@@ -66,12 +72,22 @@ class ContrastStretching(ImageOnlyTransform):
         return {"gamma": gamma, "middle_point": middle}
 
     def apply_to_image(self, data):
-        return F.contrast_stretching(jnp.asarray(data), self.rescale,
-                                     self.params["middle_point"],
-                                     self.params["gamma"])
+        data = jnp.asarray(data)
+        idx = self.spatial_dimension_index
+        if idx == -1:
+            return F.contrast_stretching(data, self.rescale,
+                                         self.params["middle_point"],
+                                         self.params["gamma"])
+        slices = [
+            F.contrast_stretching(s, self.rescale,
+                                  self.params["middle_point"],
+                                  self.params["gamma"])
+            for s in jnp.split(data, data.shape[idx], axis=idx)]
+        return jnp.concatenate(slices, axis=idx)
 
     def get_transform_init_args_names(self):
-        return ("gamma", "middle_point", "rescale")
+        return ("gamma", "middle_point", "rescale",
+                "spatial_dimension_index")
 
 
 class GaussianSmooth(ImageOnlyTransform):

@@ -41,12 +41,18 @@ def run_training_job():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed for multi-host runs")
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the first epoch")
     parser.add_argument("--debug_nans", action="store_true")
     parser.add_argument("--local_rank", default=0, type=int,
                         help="this argument is not used and should be ignored")
     args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
 
     from bodyct_dram_emph_subtype_tpu.train import (SubtypeTrainer,
                                                     TrainerConfig)
