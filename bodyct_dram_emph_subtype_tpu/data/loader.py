@@ -22,6 +22,29 @@ from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequ
 import numpy as np
 
 
+def prefetch_to_device(iterator: Iterable, put_fn: Callable, size: int = 2):
+    """Double-buffer host batches onto the device: keep ``size`` batches in
+    flight so the host→HBM transfer of batch N+1 overlaps with compute on
+    batch N (the role of pinned-memory + overlapped H2D in the reference's
+    torch pipeline)."""
+    import collections
+
+    queue_: "collections.deque" = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue_.append(put_fn(next(it)))
+    except StopIteration:
+        pass
+    while queue_:
+        out = queue_.popleft()
+        try:
+            queue_.append(put_fn(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack array fields, list the rest (uid strings etc.)."""
     out: Dict[str, Any] = {}

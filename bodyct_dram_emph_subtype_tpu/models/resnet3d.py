@@ -38,10 +38,17 @@ Dtype = Any
 
 
 class _Trunk(nn.Module):
-    """Shared encoder trunk; returns (stem, layer1, layer4) activations."""
+    """Shared encoder trunk; returns (stem, layer1, layer4) activations.
+
+    ``remat=True`` checkpoints every residual block (``jax.checkpoint``
+    through ``nn.remat``) so the backward pass recomputes block activations
+    instead of keeping them in HBM — required to train batch ≥ 2 volumes
+    per v5e chip at the deployment input size.
+    """
     block: Type[nn.Module]
     layers: Sequence[int]
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -57,25 +64,30 @@ class _Trunk(nn.Module):
 
     def _layer(self, x, planes, blocks, stride, dilation, name, train):
         exp = self.block.expansion
+        block_cls = (nn.remat(self.block, static_argnums=(2,))
+                     if self.remat else self.block)
         need_ds = stride != 1 or x.shape[-1] != planes * exp
-        x = self.block(planes, stride, dilation, use_downsample=need_ds,
-                       dtype=self.dtype, name=f"{name}_0")(x, train)
+        x = block_cls(planes, stride, dilation, use_downsample=need_ds,
+                      dtype=self.dtype, name=f"{name}_0")(x, train)
         for i in range(1, blocks):
-            x = self.block(planes, 1, dilation, use_downsample=False,
-                           dtype=self.dtype, name=f"{name}_{i}")(x, train)
+            x = block_cls(planes, 1, dilation, use_downsample=False,
+                          dtype=self.dtype, name=f"{name}_{i}")(x, train)
         return x
 
 
 class _Decoder(nn.Module):
     """U-Net-ish decoder: us1/us2/us3 (``med3d.py:215-229``)."""
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x4, x1, stem, train: bool):
-        xup1 = UpsampleConvBlock([64, 64], dtype=self.dtype,
-                                 name="us1")(x4, x1, train)
-        xup2 = UpsampleConvBlock([64, 64], dtype=self.dtype,
-                                 name="us2")(xup1, stem, train)
+        up_cls = (nn.remat(UpsampleConvBlock, static_argnums=(3,))
+                  if self.remat else UpsampleConvBlock)
+        xup1 = up_cls([64, 64], dtype=self.dtype,
+                      name="us1")(x4, x1, train)
+        xup2 = up_cls([64, 64], dtype=self.dtype,
+                      name="us2")(xup1, stem, train)
         x = conv3d(32, 3, bias=True, name="us3_conv", dtype=self.dtype)(xup2)
         x = NormWrapper(dtype=self.dtype, name="us3_bn")(x, train)
         return nn.relu(x)
@@ -88,12 +100,14 @@ class ResNetSegCls(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     n_classes: Sequence[int] = (6, 3)
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, lungs=None, train: bool = False):
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              name="trunk")(x, train)
-        xup3 = _Decoder(self.dtype, name="decoder")(x4, x1, stem, train)
+                              self.remat, name="trunk")(x, train)
+        xup3 = _Decoder(self.dtype, self.remat,
+                        name="decoder")(x4, x1, stem, train)
         dense_outs = [conv3d(n, 1, bias=True, name=f"fc{i}",
                              dtype=self.dtype)(xup3)
                       for i, n in enumerate(self.n_classes)]
@@ -108,12 +122,14 @@ class ResNetSegReg(nn.Module):
     block: Type[nn.Module] = BasicBlock
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, lungs=None, train: bool = False):
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              name="trunk")(x, train)
-        xup3 = _Decoder(self.dtype, name="decoder")(x4, x1, stem, train)
+                              self.remat, name="trunk")(x, train)
+        xup3 = _Decoder(self.dtype, self.remat,
+                        name="decoder")(x4, x1, stem, train)
         dense_outs = [
             jax.nn.sigmoid(conv3d(1, 1, bias=True, name=f"fc{i}",
                                   dtype=self.dtype)(xup3).astype(jnp.float32))
@@ -132,11 +148,12 @@ class ResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     n_classes: int = 6
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         _, _, x4 = _Trunk(self.block, self.layers, self.dtype,
-                          name="trunk")(x, train)
+                          self.remat, name="trunk")(x, train)
         dense = conv3d(self.n_classes, 1, bias=True, name="fc",
                        dtype=self.dtype)(x4)
         logits = jnp.mean(dense.astype(jnp.float32), axis=(1, 2, 3))

@@ -111,7 +111,10 @@ class SubtypeTrainer:
             mesh = get_mesh(MeshSpec(data=n), devices=jax.devices()[:n])
         self.mesh = mesh
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
-        self.model = get_model_by_name(config.model_arch, dtype=dtype)
+        # remat: recompute block activations in backward — the v5e HBM
+        # budget needs it for batch >= 2 at the deployment input size
+        self.model = get_model_by_name(config.model_arch, dtype=dtype,
+                                       remat=True)
         self.mode = "reg" if config.is_regression else "cls"
         self.tx = make_optimizer()
         n_data = self.mesh.shape["data"]
@@ -286,16 +289,21 @@ class SubtypeTrainer:
         outputs: List[Dict[str, np.ndarray]] = []
         running: Dict[str, float] = {}
         n_steps = 0
-        for step_idx, batch in enumerate(self._loader(TRAIN_PHASE, epoch)):
-            step_key = jax.random.fold_in(jax.random.fold_in(key, epoch),
-                                          step_idx)
-            device_batch = shard_batch(self.mesh, {
+
+        def put(batch):
+            return shard_batch(self.mesh, {
                 "image": batch["image"].astype(np.float32),
                 "lung_mask": batch["lung_mask"].astype(np.float32),
                 "em_mask": batch["em_mask"].astype(np.float32),
                 "cls_label": batch["cls_label"].astype(np.int32),
                 "pse_label": batch["pse_label"].astype(np.int32),
-            })
+            }), batch
+
+        from ..data.loader import prefetch_to_device
+        for step_idx, (device_batch, batch) in enumerate(
+                prefetch_to_device(self._loader(TRAIN_PHASE, epoch), put)):
+            step_key = jax.random.fold_in(jax.random.fold_in(key, epoch),
+                                          step_idx)
             self.state, metrics, preds = self._train_step(
                 self.state, device_batch, lr, cw_cle, cw_pse, step_key)
             n_steps += 1
@@ -312,13 +320,18 @@ class SubtypeTrainer:
         cfg = self.config
         epoch = epoch if epoch is not None else self.epoch
         outputs = []
-        for batch_idx, batch in enumerate(self._loader(phase, epoch)):
-            device_batch = shard_batch(self.mesh, {
+
+        def put(batch):
+            return shard_batch(self.mesh, {
                 "image": batch["image"].astype(np.float32),
                 "lung_mask": batch["lung_mask"].astype(np.float32),
                 "cls_label": batch["cls_label"].astype(np.int32),
                 "pse_label": batch["pse_label"].astype(np.int32),
-            })
+            }), batch
+
+        from ..data.loader import prefetch_to_device
+        for batch_idx, (device_batch, batch) in enumerate(
+                prefetch_to_device(self._loader(phase, epoch), put)):
             res = self._eval_step(self.state, device_batch)
             out = {k: np.asarray(v) for k, v in res.items()
                    if not k.startswith("dense")}
