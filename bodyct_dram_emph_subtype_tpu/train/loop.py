@@ -131,6 +131,7 @@ class SubtypeTrainer:
         self.epoch = 0
         self.ckpt: Optional[CheckpointManager] = None
         self._tb = None
+        self.epoch_train_losses: Dict[int, float] = {}
 
     @property
     def tb_writer(self):
@@ -277,9 +278,23 @@ class SubtypeTrainer:
                 "cle_class_weights": np.asarray(self.cle_class_weights),
                 "pse_class_weights": np.asarray(self.pse_class_weights),
             })
+            self.epoch_train_losses[epoch] = float(metrics.get("loss", 0.0))
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0 and cfg.valid_csv:
                 self.evaluate(VALID_PHASE, epoch)
         return self.state
+
+    def restore_best(self) -> int:
+        """Restore the lowest-train-loss epoch's checkpoint — the reference's
+        ``trainer.test(ckpt_path='best')`` with ``monitor='train_loss'``
+        (``train.py:92-99,108``)."""
+        if not self.epoch_train_losses:
+            return self.epoch
+        best = min(self.epoch_train_losses, key=self.epoch_train_losses.get)
+        state, extras, _ = self.ckpt.restore(self.state, epoch=best)
+        self.state = state
+        logger.info("restored best epoch %d (train_loss=%.4f)", best,
+                    self.epoch_train_losses[best])
+        return best
 
     def _run_train_epoch(self, epoch: int, key) -> Tuple[Dict, List[Dict]]:
         cfg = self.config

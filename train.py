@@ -80,7 +80,10 @@ def run_training_job():
     trainer.try_resume(reload_only_weights=bool(args.reload_only_weights),
                        ckp=args.ckp)
     trainer.fit()
-    trainer.evaluate("test")
+    # test with the best (lowest train-loss) checkpoint, like the
+    # reference's trainer.test(ckpt_path='best')
+    best_epoch = trainer.restore_best()
+    trainer.evaluate("test", epoch=best_epoch)
 
 
 if __name__ == "__main__":
