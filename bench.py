@@ -46,6 +46,8 @@ def main():
         pass
 
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
+    from bodyct_dram_emph_subtype_tpu.ops.packing import (pack12_host,
+                                                          unpack12_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
     from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear
 
@@ -58,13 +60,14 @@ def main():
     n_vox = int(np.prod(PAD_SHAPE))
 
     @jax.jit
-    def pipeline(variables, raw_i16, lung_bits, in_sizes):
-        # unpack the bit-packed lung mask on device (8x fewer link bytes)
+    def pipeline(variables, raw_packed, lung_bits, in_sizes):
+        # device-side unpack: 12-bit CT voxels + bit-packed lung mask
+        # (25% / 87.5% fewer link bytes respectively)
+        raw = unpack12_device(raw_packed, PAD_SHAPE)
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
-        lungs = bits.reshape(raw_i16.shape[0], -1)[:, :n_vox].reshape(
-            raw_i16.shape)
-        pre = fused_preprocess(raw_i16, lungs, in_sizes,
+        lungs = bits.reshape(raw.shape[0], -1)[:, :n_vox].reshape(raw.shape)
+        pre = fused_preprocess(raw, lungs, in_sizes,
                                target_size=TARGET, em_threshold=-910.0)
         x = pre["image"][..., None]
         lungs5 = pre["lung_mask"][..., None]
@@ -83,13 +86,14 @@ def main():
     def make_host_batch(seed):
         r = np.random.RandomState(seed)
         img = r.randint(-1100, -700, (BATCH, *PAD_SHAPE)).astype(np.int16)
+        packed = pack12_host(img)
         lung = np.zeros((BATCH, *PAD_SHAPE), np.uint8)
         lung[:, 8:-8, 16:-16, 16:-16] = 1
         lung_bits = np.packbits(lung.reshape(BATCH, -1), axis=-1,
                                 bitorder="little")
         sizes = np.tile(np.asarray(PAD_SHAPE, np.int32), (BATCH, 1))
         sizes[:, 0] -= r.randint(0, 16, BATCH)
-        return img, lung_bits, sizes
+        return packed, lung_bits, sizes
 
     host_batches = [make_host_batch(s) for s in range(2)]
 

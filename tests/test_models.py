@@ -95,7 +95,8 @@ def test_param_count_parity_with_reference(arch, factory):
 
 @pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
 @pytest.mark.parametrize("arch,factory", [("med3ddram18", "resnet18segreg"),
-                                          ("med3d18", "resnet18segcls")])
+                                          ("med3d18", "resnet18segcls"),
+                                          ("med3ddram50", "resnet50segreg")])
 def test_forward_parity_with_reference(rng, arch, factory):
     """Convert random torch weights into the Flax model and compare full
     forward passes (eval mode) on the same input."""
