@@ -49,7 +49,7 @@ def main():
     from bodyct_dram_emph_subtype_tpu.ops.packing import (pack12_host,
                                                           unpack12_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
-    from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear
+    from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear_matmul
 
     n_dev = len(jax.devices())
     model = get_model_by_name("med3ddram", dtype=jnp.bfloat16)
@@ -73,10 +73,10 @@ def main():
         lungs5 = pre["lung_mask"][..., None]
         ess = pre["em_mask"][..., None]
         dense, regs = model.apply(variables, x, lungs5, train=False)
-        cle = resize_linear(dense[0], TARGET, (1, 2, 3),
-                            align_corners=True) * ess
-        pse = resize_linear(dense[1], TARGET, (1, 2, 3),
-                            align_corners=True) * ess
+        cle = resize_linear_matmul(dense[0], TARGET, (1, 2, 3),
+                                   align_corners=True) * ess
+        pse = resize_linear_matmul(dense[1], TARGET, (1, 2, 3),
+                                   align_corners=True) * ess
         lung_sum = jnp.sum(lungs5, axis=(1, 2, 3, 4))
         cle_pct = jnp.sum(cle, axis=(1, 2, 3, 4)) / lung_sum
         pse_pct = jnp.sum(pse, axis=(1, 2, 3, 4)) / lung_sum

@@ -100,3 +100,40 @@ class PreprocessedView:
 
     def __getattr__(self, name):
         return getattr(self.dataset, name)
+
+
+class RawPaddedView:
+    """Dataset adapter for the *device* input pipeline: loader threads only
+    pad raw int16 volumes + lung masks into a static buffer; windowing,
+    standardization, resizing, and the LAA mask all run fused on the TPU
+    (``ops/preprocess.py``), so the host does no arithmetic at all."""
+
+    def __init__(self, dataset, pad_shape):
+        self.dataset = dataset
+        self.pad_shape = tuple(pad_shape)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        d = self.dataset[index]
+        img = np.asarray(d["image"])
+        lung = np.asarray(d["lung_mask"])
+        shape = img.shape
+        if any(s > p for s, p in zip(shape, self.pad_shape)):
+            raise ValueError(f"sample {index} shape {shape} exceeds "
+                             f"pad_shape {self.pad_shape}")
+        img_p = np.full(self.pad_shape, -2048, np.int16)
+        lung_p = np.zeros(self.pad_shape, np.uint8)
+        sl = tuple(slice(0, s) for s in shape)
+        img_p[sl] = img.astype(np.int16)
+        lung_p[sl] = (lung > 0)
+        out = {"image_raw": img_p, "lung_raw": lung_p,
+               "in_sizes": np.asarray(shape, np.int32)}
+        for key in ("cls_label", "pse_label", "index"):
+            if key in d:
+                out[key] = d[key]
+        return out
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)

@@ -254,12 +254,14 @@ class UpsampleConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, cats, train: bool):
-        from ..ops.resize import resize_linear
+        # MXU-path upsample: dense interpolation matmuls instead of
+        # gather/lerp (2x faster decoder blocks on TPU, see ops/resize.py)
+        from ..ops.resize import resize_linear_matmul
         d, h, w = inputs.shape[1:4]
-        up = resize_linear(inputs, (d * self.scale_factor,
-                                    h * self.scale_factor,
-                                    w * self.scale_factor),
-                           (1, 2, 3), align_corners=True)
+        up = resize_linear_matmul(inputs, (d * self.scale_factor,
+                                           h * self.scale_factor,
+                                           w * self.scale_factor),
+                                  (1, 2, 3), align_corners=True)
         up = up.astype(inputs.dtype)
         x = crop_concat(up, cats)
         for idx, ch in enumerate(self.base_chs):

@@ -86,6 +86,8 @@ class TrainerConfig:
     compute_dtype: str = "float32"       # "bfloat16" for the fast path
     profile: bool = False                # jax.profiler trace of epoch 0
     debug_nans: bool = False             # opt-in NaN checking
+    input_pipeline: str = "host"         # "host" or "device" (fused preprocess)
+    pad_shape: Optional[Tuple[int, int, int]] = None  # device-pipeline buffer
 
     @property
     def exp_name(self):
@@ -118,10 +120,11 @@ class SubtypeTrainer:
         self.mode = "reg" if config.is_regression else "cls"
         self.tx = make_optimizer()
         n_data = self.mesh.shape["data"]
-        if self.mode == "reg":
-            self._train_step = make_reg_train_step(self.model, self.tx, n_data)
-        else:
-            self._train_step = make_cls_train_step(self.model, self.tx, n_data)
+        fused = config.input_pipeline == "device"
+        make = make_reg_train_step if self.mode == "reg" else make_cls_train_step
+        self._train_step = make(self.model, self.tx, n_data,
+                                fused_input=fused,
+                                target_size=tuple(config.target_size))
         self._eval_step = make_eval_step(self.model, self.mode)
         self._predict_step = make_predict_step(self.model)
         self.state: Optional[TrainState] = None
@@ -226,7 +229,13 @@ class SubtypeTrainer:
     def _loader(self, phase: str, epoch: int) -> DataLoader:
         cfg = self.config
         ds = self._dataset(phase)
-        view = PreprocessedView(ds, cfg.target_size)
+        if phase == TRAIN_PHASE and cfg.input_pipeline == "device":
+            from ..data.host_preprocess import RawPaddedView
+            if cfg.pad_shape is None:
+                raise ValueError("input_pipeline='device' needs pad_shape")
+            view = RawPaddedView(ds, cfg.pad_shape)
+        else:
+            view = PreprocessedView(ds, cfg.target_size)
         gbs = self.global_batch_size
         if phase == TRAIN_PHASE:
             indices = list(iter(self.sampler))
@@ -305,14 +314,24 @@ class SubtypeTrainer:
         running: Dict[str, float] = {}
         n_steps = 0
 
+        device_mode = self.config.input_pipeline == "device"
+
         def put(batch):
-            return shard_batch(self.mesh, {
-                "image": batch["image"].astype(np.float32),
-                "lung_mask": batch["lung_mask"].astype(np.float32),
-                "em_mask": batch["em_mask"].astype(np.float32),
-                "cls_label": batch["cls_label"].astype(np.int32),
-                "pse_label": batch["pse_label"].astype(np.int32),
-            }), batch
+            if device_mode:
+                payload = {
+                    "image_raw": batch["image_raw"],
+                    "lung_raw": batch["lung_raw"],
+                    "in_sizes": batch["in_sizes"].astype(np.int32),
+                }
+            else:
+                payload = {
+                    "image": batch["image"].astype(np.float32),
+                    "lung_mask": batch["lung_mask"].astype(np.float32),
+                    "em_mask": batch["em_mask"].astype(np.float32),
+                }
+            payload["cls_label"] = batch["cls_label"].astype(np.int32)
+            payload["pse_label"] = batch["pse_label"].astype(np.int32)
+            return shard_batch(self.mesh, payload), batch
 
         from ..data.loader import prefetch_to_device
         for step_idx, (device_batch, batch) in enumerate(

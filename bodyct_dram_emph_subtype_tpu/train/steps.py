@@ -34,7 +34,7 @@ from ..losses import (
     segmentation_losses,
     weighted_cross_entropy,
 )
-from ..ops.resize import resize_linear, resize_nearest
+from ..ops.resize import resize_linear, resize_linear_matmul, resize_nearest
 from ..transforms.batch_augment import _augment_one
 from .state import TrainState, apply_updates, make_optimizer
 
@@ -61,15 +61,29 @@ def _nchw_to_ndhwc(vol):
     return vol[..., None]
 
 
+def _batch_inputs(batch, fused_input, target_size):
+    """Extract (images, lungs, ems) — either host-preprocessed arrays or,
+    in the device input pipeline, raw padded int16 volumes run through the
+    fused on-device preprocess (window/standardize/resize + LAA-950 mask)."""
+    if fused_input:
+        from ..ops.preprocess import fused_preprocess
+        pre = fused_preprocess(batch["image_raw"], batch["lung_raw"],
+                               batch["in_sizes"], target_size=target_size,
+                               em_threshold=-950.0)
+        return pre["image"], pre["lung_mask"], pre["em_mask"]
+    return batch["image"], batch["lung_mask"], batch["em_mask"]
+
+
 def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
-                        augment: bool = True):
+                        augment: bool = True, fused_input: bool = False,
+                        target_size=(128, 224, 288)):
     """dRAM (regression) training step (``models.py:539-592`` TRAIN branch)."""
     tx = tx or make_optimizer()
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, jax.Array], lr,
              cle_class_weights, pse_class_weights, key):
-        images, lungs, ems = batch["image"], batch["lung_mask"], batch["em_mask"]
+        images, lungs, ems = _batch_inputs(batch, fused_input, target_size)
         if augment:
             images, lungs, ems = _augment_batch(images, lungs, ems, key)
         x = _nchw_to_ndhwc(images)
@@ -121,7 +135,8 @@ def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
 
 
 def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
-                        augment: bool = True):
+                        augment: bool = True, fused_input: bool = False,
+                        target_size=(128, 224, 288)):
     """Classification training step (``models.py:236-264`` TRAIN branch):
     weighted CE on pooled CLE+PSE logits.
 
@@ -133,7 +148,7 @@ def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
     @jax.jit
     def step(state: TrainState, batch, lr, cle_class_weights,
              pse_class_weights, key):
-        images, lungs, ems = batch["image"], batch["lung_mask"], batch["em_mask"]
+        images, lungs, ems = _batch_inputs(batch, fused_input, target_size)
         if augment:
             images, lungs, ems = _augment_batch(images, lungs, ems, key)
         x = _nchw_to_ndhwc(images)
@@ -201,10 +216,10 @@ def make_predict_step(model):
         ess5 = _nchw_to_ndhwc(ess.astype(jnp.float32))
         dense, regs = model.apply(state.variables, x, lungs5, train=False)
         size = x.shape[1:4]
-        cle_full = resize_linear(dense[0], size, (1, 2, 3),
-                                 align_corners=True) * ess5
-        pse_full = resize_linear(dense[1], size, (1, 2, 3),
-                                 align_corners=True) * ess5
+        cle_full = resize_linear_matmul(dense[0], size, (1, 2, 3),
+                                        align_corners=True) * ess5
+        pse_full = resize_linear_matmul(dense[1], size, (1, 2, 3),
+                                        align_corners=True) * ess5
         lung_sums = jnp.sum(lungs5, axis=(1, 2, 3, 4))
         cle_pct = jnp.sum(cle_full, axis=(1, 2, 3, 4)) / lung_sums
         pse_pct = jnp.sum(pse_full, axis=(1, 2, 3, 4)) / lung_sums

@@ -100,3 +100,15 @@ def test_dynamic_in_size_matches_static(rng):
     got = np.asarray(interpolate_volume(jnp.asarray(padded), target,
                                         is_mask=False, in_sizes=(40, 50, 60)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_matmul_resize_matches_gather(rng, align_corners):
+    from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear_matmul
+    x = rng.randn(2, 9, 11, 13, 4).astype(np.float32)
+    out = (18, 22, 26)
+    want = np.asarray(resize_linear(jnp.asarray(x), out, (1, 2, 3),
+                                    align_corners))
+    got = np.asarray(resize_linear_matmul(jnp.asarray(x), out, (1, 2, 3),
+                                          align_corners))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

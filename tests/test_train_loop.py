@@ -94,6 +94,19 @@ def test_cls_training_adaptive_reweighting(archive, tmp_path):
     assert not np.allclose(w_before, w_after)
 
 
+def test_device_input_pipeline_trains(archive, tmp_path):
+    """input_pipeline='device': loader ships raw padded int16; window/
+    standardize/resize/LAA all run fused inside the train step."""
+    cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1,
+                  input_pipeline="device", pad_shape=(16, 20, 24))
+    trainer = SubtypeTrainer(cfg)
+    trainer.init_state()
+    trainer.fit()
+    lines = (cfg.exp_path / "metrics.jsonl").read_text().strip().splitlines()
+    entries = [json.loads(l) for l in lines]
+    assert any(e["phase"] == "train" for e in entries)
+
+
 def test_evaluate_produces_metrics(archive, tmp_path):
     cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1)
     trainer = SubtypeTrainer(cfg)
