@@ -38,14 +38,43 @@ def _valid_mask(shape, in_sizes):
     return m
 
 
+def _interp_matrix_dynamic(pad_in: int, out_size: int, in_size,
+                           align_corners: bool = True) -> jax.Array:
+    """(pad_in, out) linear-interp matrix built on device from a *traced*
+    true extent — lets the variable-size resize ride the MXU instead of
+    the VPU gather path."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    in_f = jnp.asarray(in_size, jnp.float32)
+    if align_corners:
+        scale = jnp.where(out_size > 1, (in_f - 1.0) / max(out_size - 1, 1),
+                          0.0)
+        src = i * scale
+    else:
+        src = jnp.maximum((i + 0.5) * in_f / out_size - 0.5, 0.0)
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0,
+                  jnp.asarray(in_size, jnp.int32) - 1)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(in_size, jnp.int32) - 1)
+    w = src - i0.astype(jnp.float32)
+    rows = jnp.arange(pad_in, dtype=jnp.int32)[:, None]
+    return ((rows == i0[None, :]) * (1.0 - w)[None, :]
+            + (rows == i1[None, :]) * w[None, :])
+
+
 def _resize_sample(vol, in_sizes, target_size, is_mask: bool):
     d_new, h_new, w_new = target_size
     if is_mask:
         out = nearest_gather_1d(vol, h_new, -2, in_sizes[1])
         out = nearest_gather_1d(out, w_new, -1, in_sizes[2])
     else:
-        out = linear_gather_1d(vol, h_new, -2, True, in_sizes[1])
-        out = linear_gather_1d(out, w_new, -1, True, in_sizes[2])
+        # MXU path: bilinear in-plane resize as two interp-matrix matmuls
+        mh = _interp_matrix_dynamic(vol.shape[-2], h_new, in_sizes[1])
+        mw = _interp_matrix_dynamic(vol.shape[-1], w_new, in_sizes[2])
+        prec = (jax.lax.Precision.HIGHEST if vol.dtype == jnp.float32
+                else None)
+        out = jnp.tensordot(vol, mh, axes=([-2], [0]),
+                            precision=prec)                # (D, W, Hn)
+        out = jnp.tensordot(out, mw, axes=([-2], [0]),
+                            precision=prec)                # (D, Hn, Wn)
     idx = depth_linspace_indices(in_sizes[0], d_new)
     return jnp.take(out, idx, axis=-3)
 
