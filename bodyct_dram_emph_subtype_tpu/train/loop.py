@@ -395,6 +395,13 @@ class SubtypeTrainer:
         acc_pse = float((cat["pred_pse_labels"] == cat["pse_labels"]).mean())
         _, unique_ids = np.unique(cat["index"], return_index=True)
         dedup = {k: v[unique_ids] for k, v in cat.items()}
+        from ..utils.metrics_eval import classification_report
+        report = classification_report(dedup["cle_labels"],
+                                       dedup["pred_cle_labels"], 6,
+                                       prefix=f"epoch_{phase}_cle_")
+        report.update(classification_report(dedup["pse_labels"],
+                                            dedup["pred_pse_labels"], 3,
+                                            prefix=f"epoch_{phase}_pse_"))
         self._log_confusion_matrix(dedup["pred_cle_labels"],
                                    dedup["cle_labels"], phase, "cle", 6,
                                    epoch)
@@ -405,7 +412,7 @@ class SubtypeTrainer:
         logger.info("epoch_%s_acc_cle=%.4f acc_pse=%.4f", phase, acc_cle,
                     acc_pse)
         metrics = {f"epoch_{phase}_acc_cle": acc_cle,
-                   f"epoch_{phase}_acc_pse": acc_pse}
+                   f"epoch_{phase}_acc_pse": acc_pse, **report}
         self._append_metrics_log(phase, epoch, metrics)
         if self.tb_writer:
             for k, v in metrics.items():
