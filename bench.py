@@ -30,8 +30,8 @@ REFERENCE_A100_E2E_VOLS_PER_SEC = 2.0
 BATCH = 4
 PAD_SHAPE = (160, 288, 384)          # static padded raw-CT buffer
 TARGET = (128, 224, 288)             # model input (train.py:30)
-ITERS = 4
-TRIALS = 3
+ITERS = 6
+TRIALS = 4
 
 
 def main():
