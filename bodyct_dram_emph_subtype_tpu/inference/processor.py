@@ -95,13 +95,22 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
     if state is None:
         x = jnp.zeros((1, *target_size, 1), jnp.float32)
         variables = dict(model.init(jax.random.PRNGKey(0), x, x, train=False))
-        if ckp_path and Path(ckp_path).exists():
+        state = TrainState.create(variables, make_optimizer())
+        if ckp_path and Path(ckp_path).is_dir():
+            # framework-native Orbax checkpoint directory (train → deploy)
+            from ..train.checkpoint import CheckpointManager
+            mgr = CheckpointManager(ckp_path)
+            state, _, epoch = mgr.restore(jax.device_get(state))
+            mgr.close()
+            logger.info("restored orbax checkpoint epoch %d from %s", epoch,
+                        ckp_path)
+        elif ckp_path and Path(ckp_path).exists():
             variables = greedy_restore_variables(variables, ckp_path)
+            state = TrainState.create(variables, make_optimizer())
             logger.info("loaded weights from %s", ckp_path)
         else:
             logger.warning("no checkpoint found at %s — random weights",
                            ckp_path)
-        state = TrainState.create(variables, make_optimizer())
 
     gbs = batch_size * mesh.shape["data"]
     indices = list(range(len(view)))

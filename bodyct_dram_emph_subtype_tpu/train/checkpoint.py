@@ -34,9 +34,12 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, epoch: int, state, extras: Optional[Dict[str, Any]] = None):
-        payload = {"state": state}
-        if extras:
-            payload["extras"] = extras
+        if extras is None:
+            # keep the on-disk tree structure uniform so restores never
+            # need structure-dependent templates
+            extras = {"cle_class_weights": np.zeros(6),
+                      "pse_class_weights": np.zeros(3)}
+        payload = {"state": state, "extras": extras}
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 

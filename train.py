@@ -41,6 +41,11 @@ def run_training_job():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--input_pipeline", default="host",
+                        choices=["host", "device"],
+                        help="device: raw int16 volumes, fused preprocess on TPU")
+    parser.add_argument("--pad_shape", default=None, type=parse_size,
+                        help="static padded buffer for --input_pipeline=device")
     parser.add_argument("--multihost", action="store_true",
                         help="initialize jax.distributed for multi-host runs")
     parser.add_argument("--profile", action="store_true",
@@ -65,7 +70,8 @@ def run_training_job():
         valid_csv=args.valid_csv, test_csv=args.test_csv,
         model_path=args.model_path, nchips=args.nchips, seed=args.seed,
         compute_dtype=args.compute_dtype, profile=args.profile,
-        debug_nans=args.debug_nans)
+        debug_nans=args.debug_nans, input_pipeline=args.input_pipeline,
+        pad_shape=args.pad_shape)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
