@@ -28,27 +28,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
-    """Mesh layout: ``data`` replicas x ``spatial`` shards (over H)."""
+    """Mesh layout: ``data`` replicas x ``spatial`` shards (volume H axis)
+    x ``model`` shards (conv channel axis, tensor parallelism)."""
     data: int = 1
     spatial: int = 1
+    model: int = 1
 
     @property
     def size(self):
-        return self.data * self.spatial
+        return self.data * self.spatial * self.model
 
 
 def get_mesh(spec: Optional[MeshSpec] = None,
              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a ('data', 'spatial') mesh.  Defaults to all devices on the
-    data axis — plain DP, the reference's only strategy."""
+    """Build a ('data', 'spatial', 'model') mesh.  Defaults to all devices
+    on the data axis — plain DP, the reference's only strategy."""
     devices = list(devices if devices is not None else jax.devices())
     if spec is None:
-        spec = MeshSpec(data=len(devices), spatial=1)
+        spec = MeshSpec(data=len(devices))
     if spec.size != len(devices):
         raise ValueError(f"mesh {spec} needs {spec.size} devices, "
                          f"got {len(devices)}")
-    arr = np.asarray(devices).reshape(spec.data, spec.spatial)
-    return Mesh(arr, ("data", "spatial"))
+    arr = np.asarray(devices).reshape(spec.data, spec.spatial, spec.model)
+    return Mesh(arr, ("data", "spatial", "model"))
+
+
+def shard_params_tp(mesh: Mesh, tree):
+    """Tensor-parallel parameter placement: conv kernels (and their
+    channel-wise affine/bias/stats companions) shard the output-channel dim
+    over 'model'; everything else replicates.  Under GSPMD jit, activations
+    become channel-sharded after each conv and XLA inserts the collectives
+    (this is the scaling-book recipe: annotate, let the compiler do the
+    comms)."""
+    n_model = mesh.shape["model"]
+
+    def place(x):
+        shape = np.shape(x)
+        if n_model > 1 and len(shape) >= 1 and shape[-1] % n_model == 0 \
+                and shape[-1] >= n_model:
+            spec = [None] * (len(shape) - 1) + ["model"]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, tree)
 
 
 def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = 2

@@ -110,6 +110,29 @@ def test_spatial_sharding_matches_unsharded():
                                atol=1e-4)
 
 
+def test_tensor_parallel_matches_replicated():
+    """Channel-sharded params ('model' axis TP) must give the same forward
+    results as replicated params."""
+    from bodyct_dram_emph_subtype_tpu.parallel.mesh import shard_params_tp
+    model, tx, state, host_batch = _state_and_batch(batch=2)
+    fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False)[1])
+    x = jnp.asarray(host_batch["image"])[..., None]
+    lungs = jnp.asarray(host_batch["lung_mask"])[..., None]
+    regs_ref = fwd(state.variables, x, lungs)
+
+    mesh = get_mesh(MeshSpec(data=2, spatial=2, model=2),
+                    devices=jax.devices())
+    variables_tp = shard_params_tp(mesh, state.variables)
+    sb = shard_batch(mesh, {"image": host_batch["image"],
+                            "lung_mask": host_batch["lung_mask"]})
+    regs_tp = fwd(variables_tp, sb["image"][..., None],
+                  sb["lung_mask"][..., None])
+    np.testing.assert_allclose(np.asarray(regs_tp[0]),
+                               np.asarray(regs_ref[0]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(regs_tp[1]),
+                               np.asarray(regs_ref[1]), rtol=1e-4)
+
+
 def test_graft_entry_single_chip_small():
     """entry() returns a jittable fn; exercise the same construction at a
     small shape (the driver compile-checks the full size)."""
