@@ -163,10 +163,10 @@ class COPDGeneSubtyping:
                 return {k: z[k] for k in z.files}
         pth = Path(self.archive_path) / f"{uid}.pth"
         if pth.exists():
-            import torch  # dev-only compat with reference caches
-            data = torch.load(pth, map_location="cpu", weights_only=False)
-            return {k: (v.numpy() if hasattr(v, "numpy") else v)
-                    for k, v in data.items()}
+            # reference-format torch cache, read torch-free
+            # (data/torch_pickle.py)
+            from .torch_pickle import load_torch_file
+            return load_torch_file(pth)
         raise FileNotFoundError(f"no cache entry for series {uid} "
                                 f"({npz} / {pth})")
 

@@ -147,13 +147,20 @@ def convert_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any]
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Unpickle a torch ``.ckpt``/``.pth`` and return its flat state dict."""
-    import torch
+    """Read a torch ``.ckpt``/``.pth`` state dict — torch-free by default
+    (first-party zip-serialization reader), falling back to ``torch.load``
+    only for formats the reader doesn't cover (legacy torch<1.6 files)."""
+    try:
+        from ..data.torch_pickle import load_state_dict
+        return load_state_dict(path)
+    except (ValueError, KeyError, NotImplementedError) as exc:
+        logger.info("first-party reader failed (%s); trying torch", exc)
+        import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(ckpt, dict) and "state_dict" in ckpt:
-        ckpt = ckpt["state_dict"]
-    return {k: _to_numpy(v) for k, v in ckpt.items()}
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(ckpt, dict) and "state_dict" in ckpt:
+            ckpt = ckpt["state_dict"]
+        return {k: _to_numpy(v) for k, v in ckpt.items()}
 
 
 def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:

@@ -174,3 +174,21 @@ def test_ratio_to_label_host():
     assert ratio_to_label(0.0, CLE_RATIO_MAP) == 0
     assert ratio_to_label(0.15, CLE_RATIO_MAP) == 3
     assert ratio_to_label(0.9, CLE_RATIO_MAP) == 5
+
+
+def test_training_dataset_reads_torch_pth_cache(tmp_path, rng):
+    """Reference-format .pth caches load without torch at runtime."""
+    import torch
+
+    rows = ["SeriesInstanceUID,CT_Visual_Emph_Severity_P1,"
+            "CT_Visual_Emph_Paraseptal_P1", "u1,4,2"]
+    (tmp_path / "merged.csv").write_text("\n".join(rows) + "\n")
+    img = rng.randint(-1200, 0, (10, 12, 14)).astype(np.int16)
+    lung = rng.rand(10, 12, 14) > 0.4
+    torch.save({"image": torch.from_numpy(img),
+                "lung_mask": torch.from_numpy(lung),
+                "cls_label": 4, "pse_label": 2}, tmp_path / "u1.pth")
+    ds = COPDGeneSubtyping(str(tmp_path), ["u1"])
+    item = ds[0]
+    np.testing.assert_array_equal(item["image"], img)
+    assert (item["em_mask"] == ((img < -950) & lung)).all()
