@@ -54,10 +54,32 @@ def main():
         n_params = sum(int(np.prod(l.shape)) for l in
                        jax.tree.leaves(variables["params"]))
 
-        def fwd(v, x, l):
-            return model.apply(v, x, l, train=False)
+        if args.train:
+            # probe the full training step (fwd+bwd+update), the analog of
+            # the reference's profiled-fit probe
+            # (compute_computation_complexity_proposed.py)
+            from bodyct_dram_emph_subtype_tpu.train import (
+                TrainState, make_optimizer, make_reg_train_step,
+                make_cls_train_step)
+            tx = make_optimizer()
+            state = jax.eval_shape(
+                lambda v: TrainState.create(dict(v), tx), variables)
+            make = (make_reg_train_step if "reg" in type(model).__name__.lower()
+                    else make_cls_train_step)
+            step = make(model, tx, 1)
+            batch = {"image": jnp.zeros((args.batch, *size), jnp.float32),
+                     "lung_mask": jnp.ones((args.batch, *size), jnp.float32),
+                     "em_mask": jnp.zeros((args.batch, *size), jnp.float32),
+                     "cls_label": jnp.zeros((args.batch,), jnp.int32),
+                     "pse_label": jnp.zeros((args.batch,), jnp.int32)}
+            lowered = step.lower(state, batch, jnp.asarray(1e-4),
+                                 jnp.ones(6), jnp.ones(3),
+                                 jax.random.PRNGKey(0))
+        else:
+            def fwd(v, x, l):
+                return model.apply(v, x, l, train=False)
 
-        lowered = jax.jit(fwd).lower(variables, x, x)
+            lowered = jax.jit(fwd).lower(variables, x, x)
         try:
             cost = lowered.compile().cost_analysis()
             flops = cost.get("flops", float("nan"))
