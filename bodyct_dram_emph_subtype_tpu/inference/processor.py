@@ -114,8 +114,11 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
 
     gbs = batch_size * mesh.shape["data"]
     indices = list(range(len(view)))
-    pad = (-len(indices)) % gbs
-    indices = indices + indices[:pad or 0]
+    if len(indices) % gbs:
+        # tile so even a single scan fills the mesh batch; duplicates are
+        # dropped on output by uid
+        total = int(np.ceil(len(indices) / gbs)) * gbs
+        indices = list(np.resize(np.asarray(indices), total))
     loader = DataLoader(view, indices=indices, batch_size=gbs,
                         drop_last=False, num_workers=workers)
 

@@ -246,12 +246,12 @@ class SubtypeTrainer:
                               drop_last=True, num_workers=cfg.workers)
         indices = shard_indices(list(range(len(ds))), jax.process_count(),
                                 jax.process_index(), shuffle=False)
-        # pad by wrap-around so every batch fills the mesh; duplicates are
-        # removed at epoch end (the DistributedSampler padding + dedup
-        # pattern, models.py:306-311)
-        pad = (-len(indices)) % gbs
-        if pad:
-            indices = np.concatenate([indices, indices[:pad]])
+        # pad by wrap-around (tiling, so datasets smaller than one global
+        # batch still fill it) — duplicates are removed at epoch end (the
+        # DistributedSampler padding + dedup pattern, models.py:306-311)
+        if len(indices) % gbs:
+            total = int(np.ceil(len(indices) / gbs)) * gbs
+            indices = np.resize(np.asarray(indices), total)
         return DataLoader(view, indices=indices, batch_size=gbs,
                           drop_last=False, num_workers=cfg.workers)
 
