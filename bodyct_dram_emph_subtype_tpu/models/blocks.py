@@ -179,6 +179,22 @@ def downsample_shortcut_a(x, planes: int, stride: int):
     return x
 
 
+class DownsampleB(nn.Module):
+    """Shortcut type 'B' (``med3d.py:250-260``): 1x1x1 conv (stride s, no
+    bias) + BatchNorm on the residual branch.  Torch state-dict names
+    ``downsample.0`` (conv) / ``downsample.1`` (BN) map to
+    ``downsample/conv`` / ``downsample/norm`` here (``torch_import.py``)."""
+    planes: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv3d(self.planes, 1, self.stride, name="conv",
+                   dtype=self.dtype)(x)
+        return NormWrapper(dtype=self.dtype, name="norm")(x, train)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3x3 convs + identity shortcut (``med3d.py:115-144``)."""
     planes: int
@@ -186,6 +202,7 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     use_downsample: bool = False
     dtype: Optional[Dtype] = None
+    shortcut_type: str = "A"
     expansion: int = 1
 
     @nn.compact
@@ -199,7 +216,12 @@ class BasicBlock(nn.Module):
                      dtype=self.dtype)(out)
         out = NormWrapper(dtype=self.dtype, name="bn2")(out, train)
         if self.use_downsample:
-            residual = downsample_shortcut_a(x, self.planes, self.stride)
+            if self.shortcut_type == "A":
+                residual = downsample_shortcut_a(x, self.planes, self.stride)
+            else:
+                residual = DownsampleB(self.planes, self.stride,
+                                       dtype=self.dtype,
+                                       name="downsample")(x, train)
         return nn.relu(out + residual)
 
 
@@ -210,6 +232,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     use_downsample: bool = False
     dtype: Optional[Dtype] = None
+    shortcut_type: str = "A"
     expansion: int = 4
 
     @nn.compact
@@ -225,7 +248,13 @@ class Bottleneck(nn.Module):
         out = conv3d(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
         out = NormWrapper(dtype=self.dtype, name="bn3")(out, train)
         if self.use_downsample:
-            residual = downsample_shortcut_a(x, self.planes * 4, self.stride)
+            if self.shortcut_type == "A":
+                residual = downsample_shortcut_a(x, self.planes * 4,
+                                                 self.stride)
+            else:
+                residual = DownsampleB(self.planes * 4, self.stride,
+                                       dtype=self.dtype,
+                                       name="downsample")(x, train)
         return nn.relu(out + residual)
 
 

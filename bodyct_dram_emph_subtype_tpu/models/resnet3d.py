@@ -49,6 +49,7 @@ class _Trunk(nn.Module):
     layers: Sequence[int]
     dtype: Optional[Dtype] = None
     remat: bool = False
+    shortcut_type: str = "A"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -68,7 +69,8 @@ class _Trunk(nn.Module):
                      if self.remat else self.block)
         need_ds = stride != 1 or x.shape[-1] != planes * exp
         x = block_cls(planes, stride, dilation, use_downsample=need_ds,
-                      dtype=self.dtype, name=f"{name}_0")(x, train)
+                      dtype=self.dtype, shortcut_type=self.shortcut_type,
+                      name=f"{name}_0")(x, train)
         for i in range(1, blocks):
             x = block_cls(planes, 1, dilation, use_downsample=False,
                           dtype=self.dtype, name=f"{name}_{i}")(x, train)
@@ -101,11 +103,13 @@ class ResNetSegCls(nn.Module):
     n_classes: Sequence[int] = (6, 3)
     dtype: Optional[Dtype] = None
     remat: bool = False
+    shortcut_type: str = "A"
 
     @nn.compact
     def __call__(self, x, lungs=None, train: bool = False):
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              self.remat, name="trunk")(x, train)
+                              self.remat, self.shortcut_type,
+                              name="trunk")(x, train)
         xup3 = _Decoder(self.dtype, self.remat,
                         name="decoder")(x4, x1, stem, train)
         dense_outs = [conv3d(n, 1, bias=True, name=f"fc{i}",
@@ -123,11 +127,13 @@ class ResNetSegReg(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Optional[Dtype] = None
     remat: bool = False
+    shortcut_type: str = "A"
 
     @nn.compact
     def __call__(self, x, lungs=None, train: bool = False):
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              self.remat, name="trunk")(x, train)
+                              self.remat, self.shortcut_type,
+                              name="trunk")(x, train)
         xup3 = _Decoder(self.dtype, self.remat,
                         name="decoder")(x4, x1, stem, train)
         dense_outs = [
@@ -149,11 +155,13 @@ class ResNet(nn.Module):
     n_classes: int = 6
     dtype: Optional[Dtype] = None
     remat: bool = False
+    shortcut_type: str = "A"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         _, _, x4 = _Trunk(self.block, self.layers, self.dtype,
-                          self.remat, name="trunk")(x, train)
+                          self.remat, self.shortcut_type,
+                          name="trunk")(x, train)
         dense = conv3d(self.n_classes, 1, bias=True, name="fc",
                        dtype=self.dtype)(x4)
         logits = jnp.mean(dense.astype(jnp.float32), axis=(1, 2, 3))

@@ -59,7 +59,14 @@ def torch_key_to_flax_path(key: str) -> Optional[Tuple[str, Tuple[str, ...]]]:
             return "params", ("trunk", block, sub, _conv_leaf(parts[3]))
         if sub.startswith("bn"):
             return bn_leaf(parts[3], "trunk", block, sub)
-        if sub == "downsample":  # shortcut type B (unused by the zoo)
+        if sub == "downsample":
+            # shortcut type B: downsample.0 = 1x1x1 conv, downsample.1 = BN
+            # (``med3d.py:250-260``) → Flax DownsampleB(name='downsample')
+            if parts[3] == "0":
+                return "params", ("trunk", block, "downsample", "conv",
+                                  _conv_leaf(parts[4]))
+            if parts[3] == "1":
+                return bn_leaf(parts[4], "trunk", block, "downsample", "norm")
             return None
     # decoder ---------------------------------------------------------------
     m = re.fullmatch(r"us([12])", parts[0])

@@ -131,3 +131,76 @@ def test_forward_parity_with_reference(rng, arch, factory):
     for gh, wh in zip(got_heads, want_heads):
         np.testing.assert_allclose(np.asarray(gh), wh.numpy(), rtol=1e-3,
                                    atol=2e-4)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_shortcut_b_forward_parity(rng):
+    """Shortcut type 'B' (conv+BN residual branch, ``med3d.py:250-260``):
+    param-count + forward parity against the torch model built with
+    ``shortcut_type='B'``."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import med3d as ref_med3d
+        torch_model = ref_med3d.resnet18segreg(shortcut_type="B").eval()
+    finally:
+        sys.path.pop(0)
+
+    model = get_model_by_name("med3ddram18", shortcut_type="B")
+    variables, _, _ = _init(model)
+    want_n = sum(p.numel() for p in torch_model.parameters())
+    got_n = _param_count(variables["params"])
+    assert got_n == want_n
+
+    variables, report = convert_state_dict(torch_model.state_dict(),
+                                           dict(variables))
+    assert report["missing"] == 0 and report["shape_mismatch"] == 0
+    assert report["unexpected"] == 0
+
+    x = rng.randn(*INPUT).astype(np.float32)
+    lungs = (rng.rand(*INPUT) > 0.3).astype(np.float32)
+    with torch.no_grad():
+        tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+        tl = torch.from_numpy(np.moveaxis(lungs, -1, 1).copy())
+        want_dense, want_heads = torch_model(tx, tl)
+    with jax.default_matmul_precision("highest"):
+        got_dense, got_heads = model.apply(variables, jnp.asarray(x),
+                                           jnp.asarray(lungs), train=False)
+    for gd, wd in zip(got_dense, want_dense):
+        wd = np.moveaxis(wd.numpy(), 1, -1)
+        np.testing.assert_allclose(np.asarray(gd), wd, rtol=1e-3, atol=2e-4)
+    for gh, wh in zip(got_heads, want_heads):
+        np.testing.assert_allclose(np.asarray(gh), wh.numpy(), rtol=1e-3,
+                                   atol=2e-4)
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("method", ["ln", "lnna", "in", "bnt", "bntna"])
+def test_norm_wrapper_variants_oracle(rng, method):
+    """NormWrapper 'ln'/'lnna'/'in'/'bnt'/'bntna' vs the reference
+    ``normal_wrapper`` (``med3d.py:10-28``) on the same activations."""
+    import torch
+
+    from bodyct_dram_emph_subtype_tpu.models.blocks import NormWrapper
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import med3d as ref_med3d
+        tmod = ref_med3d.normal_wrapper(method, 8).eval()
+    finally:
+        sys.path.pop(0)
+
+    x = rng.randn(2, 6, 10, 12, 8).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(np.moveaxis(x, -1, 1).copy()))
+    want = np.moveaxis(want.numpy(), 1, -1)
+
+    mod = NormWrapper(method)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    # affine GroupNorm variants init scale=1/bias=0 in both frameworks, so
+    # fresh-init comparison is meaningful; 'bnt'/'bntna' always use batch
+    # stats (track_running_stats=False), so eval == normalize-by-batch.
+    got, _ = mod.apply(variables, jnp.asarray(x), False,
+                       mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
