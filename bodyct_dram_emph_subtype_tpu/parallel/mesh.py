@@ -91,16 +91,53 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_data(x) -> np.ndarray:
+    """Per-process slice of a batch-sharded global array — the inverse of
+    :func:`shard_batch` for jit outputs (predictions, per-sample metrics).
+
+    Multi-process jax.Arrays are not fully addressable, so ``np.asarray``
+    would raise; instead the unique batch rows owned by this process's
+    devices are concatenated in global order.  Assumes sharding only over
+    axis 0 (replicated across 'spatial'/'model' — true for the per-sample
+    outputs the train/eval steps emit).  Single-process: the whole array.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    parts = {}
+    for shard in x.addressable_shards:
+        index = shard.index
+        start = (index[0].start or 0) if index else 0
+        if start not in parts:
+            parts[start] = np.asarray(shard.data)
+    return np.concatenate([parts[s] for s in sorted(parts)], axis=0)
+
+
 def shard_batch(mesh: Mesh, batch_tree):
     """Device-put a host batch with batch-dim sharding (leaves with a batch
-    dim) — the host→HBM transfer of the input pipeline."""
+    dim) — the host→HBM transfer of the input pipeline.
+
+    Single-process: a plain ``device_put`` onto the mesh-wide sharding.
+    Multi-process (``jax.distributed``): each process holds only its own
+    sub-batch, so leaves go through
+    ``jax.make_array_from_process_local_data`` — the per-process shards
+    assemble into one global jax.Array (the DDP input contract,
+    reference ``train.py:70,103``).  The local batch must then be
+    ``global_batch / process_count`` (see ``SubtypeTrainer._loader``).
+    """
     sharding_nd = batch_sharding(mesh)
     sharding_1d = NamedSharding(mesh, P("data"))
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 4:
-            return jax.device_put(x, sharding_nd)
-        return jax.device_put(x, sharding_1d)
+        sharding = sharding_nd if x.ndim >= 4 else sharding_1d
+        if multiprocess:
+            # batch axis spans processes; all other axes are process-local
+            # (get_mesh enumerates devices data-major, so each data row's
+            # spatial x model block lives inside one process)
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, x,
+                                                          global_shape)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch_tree)

@@ -40,7 +40,7 @@ from ..data import (
 )
 from ..data.host_preprocess import PreprocessedView
 from ..models import get_model_by_name
-from ..parallel.mesh import get_mesh, shard_batch
+from ..parallel.mesh import get_mesh, process_local_data, shard_batch
 from ..utils.viz import (
     draw_mask_tile_singleview_heatmap,
     plot_confusion_matrix_from_data,
@@ -222,9 +222,22 @@ class SubtypeTrainer:
 
     @property
     def global_batch_size(self) -> int:
-        """Per-process batch: ``batch_size`` per chip on the data axis, the
-        reference's per-GPU batch semantics (``train.py:42`` x ``--ngpus``)."""
+        """``batch_size`` per chip on the data axis across ALL processes —
+        the reference's per-GPU batch semantics (``train.py:42`` x
+        ``--ngpus``)."""
         return self.config.batch_size * self.mesh.shape["data"]
+
+    @property
+    def local_batch_size(self) -> int:
+        """Per-process sub-batch: each process loads only the slice its own
+        devices hold; ``shard_batch`` assembles the global array from the
+        per-process pieces (the DDP loader contract)."""
+        n_proc = jax.process_count()
+        gbs = self.global_batch_size
+        if gbs % n_proc:
+            raise ValueError(f"global batch {gbs} must divide over "
+                             f"{n_proc} processes")
+        return gbs // n_proc
 
     def _loader(self, phase: str, epoch: int) -> DataLoader:
         cfg = self.config
@@ -236,23 +249,23 @@ class SubtypeTrainer:
             view = RawPaddedView(ds, cfg.pad_shape)
         else:
             view = PreprocessedView(ds, cfg.target_size)
-        gbs = self.global_batch_size
+        lbs = self.local_batch_size
         if phase == TRAIN_PHASE:
             indices = list(iter(self.sampler))
             indices = shard_indices(indices, jax.process_count(),
                                     jax.process_index(), shuffle=True,
                                     epoch=epoch)
-            return DataLoader(view, indices=indices, batch_size=gbs,
+            return DataLoader(view, indices=indices, batch_size=lbs,
                               drop_last=True, num_workers=cfg.workers)
         indices = shard_indices(list(range(len(ds))), jax.process_count(),
                                 jax.process_index(), shuffle=False)
-        # pad by wrap-around (tiling, so datasets smaller than one global
+        # pad by wrap-around (tiling, so datasets smaller than one local
         # batch still fill it) — duplicates are removed at epoch end (the
         # DistributedSampler padding + dedup pattern, models.py:306-311)
-        if len(indices) % gbs:
-            total = int(np.ceil(len(indices) / gbs)) * gbs
+        if len(indices) % lbs:
+            total = int(np.ceil(len(indices) / lbs)) * lbs
             indices = np.resize(np.asarray(indices), total)
-        return DataLoader(view, indices=indices, batch_size=gbs,
+        return DataLoader(view, indices=indices, batch_size=lbs,
                           drop_last=False, num_workers=cfg.workers)
 
     # ------------------------------------------------------------------ train
@@ -343,7 +356,7 @@ class SubtypeTrainer:
             n_steps += 1
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
-            out = {k: np.asarray(v) for k, v in preds.items()}
+            out = {k: process_local_data(v) for k, v in preds.items()}
             out["index"] = np.asarray(batch["index"]).reshape(-1)
             outputs.append(out)
         return ({k: v / max(n_steps, 1) for k, v in running.items()},
@@ -367,11 +380,14 @@ class SubtypeTrainer:
         for batch_idx, (device_batch, batch) in enumerate(
                 prefetch_to_device(self._loader(phase, epoch), put)):
             res = self._eval_step(self.state, device_batch)
-            out = {k: np.asarray(v) for k, v in res.items()
+            out = {k: process_local_data(v) for k, v in res.items()
                    if not k.startswith("dense")}
             out["index"] = np.asarray(batch["index"]).reshape(-1)
             outputs.append(out)
-            if (jax.process_index() == 0
+            # heatmap tiles: single-process only (the dense maps are not
+            # fully addressable across processes; the reference likewise
+            # draws only rank 0's local batch)
+            if (jax.process_count() == 1 and jax.process_index() == 0
                     and batch_idx < cfg.debug_draw_batches):
                 self._draw_predictions(batch, res, phase, epoch)
         return self._epoch_end(outputs, phase, epoch)
