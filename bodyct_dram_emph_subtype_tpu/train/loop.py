@@ -135,6 +135,7 @@ class SubtypeTrainer:
         self.ckpt: Optional[CheckpointManager] = None
         self._tb = None
         self.epoch_train_losses: Dict[int, float] = {}
+        self.global_step = 0
 
     @property
     def tb_writer(self):
@@ -354,8 +355,15 @@ class SubtypeTrainer:
             self.state, metrics, preds = self._train_step(
                 self.state, device_batch, lr, cw_cle, cw_pse, step_key)
             n_steps += 1
+            self.global_step += 1
+            tb = self.tb_writer
             for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
+                v = float(v)
+                running[k] = running.get(k, 0.0) + v
+                # per-step scalars, parity with the reference's
+                # on_step=True logging (models.py:575-579)
+                if tb:
+                    tb.scalar(f"{TRAIN_PHASE}_{k}_step", v, self.global_step)
             out = {k: process_local_data(v) for k, v in preds.items()}
             out["index"] = np.asarray(batch["index"]).reshape(-1)
             outputs.append(out)

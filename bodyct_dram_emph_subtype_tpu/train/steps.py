@@ -13,10 +13,12 @@ pure functions:
 - eval: forward + predicted labels;
 - predict: forward + dRAM maps trilinearly upsampled (align_corners=True)
   to input size, masked by the −910 emphysema-susceptible mask, reduced to
-  per-sample lesion percentages (``models.py:430-450``).  Deviation noted:
-  the reference normalises by the *whole batch's* lung volume
-  (``models.py:440-441``), which is only correct at batch size 1 — we
-  normalise per sample (identical for the deployment contract of one scan).
+  per-sample lesion percentages (``models.py:430-450``).  The reference
+  normalises by the *whole batch's* lung volume (``models.py:440-441``),
+  which is only correct at batch size 1; the default here is per-sample
+  normalisation (identical at the deployment batch of one scan), with a
+  ``batch_lung_norm=True`` strict-parity mode for bit-comparable
+  validation at batch > 1.
 """
 from __future__ import annotations
 
@@ -206,8 +208,18 @@ def make_eval_step(model, mode: str):
     return step
 
 
-def make_predict_step(model):
-    """Deployment predict step (``models.py:430-450``)."""
+def make_predict_step(model, batch_lung_norm: bool = False):
+    """Deployment predict step (``models.py:430-450``).
+
+    ``batch_lung_norm=False`` (default): lesion percentages divide by each
+    sample's own lung volume — the statistically correct normalization and
+    identical to the reference at the deployment batch of one scan.
+
+    ``batch_lung_norm=True``: strict bit-parity with the reference, which
+    divides every sample by the *whole batch's* lung volume
+    (``models.py:440-441``, ``lungs.sum()`` with no per-sample dim) — use
+    for validating outputs against reference runs at batch > 1.
+    """
 
     @jax.jit
     def step(state: TrainState, images, lungs, ess):
@@ -220,7 +232,10 @@ def make_predict_step(model):
                                         align_corners=True) * ess5
         pse_full = resize_linear_matmul(dense[1], size, (1, 2, 3),
                                         align_corners=True) * ess5
-        lung_sums = jnp.sum(lungs5, axis=(1, 2, 3, 4))
+        if batch_lung_norm:
+            lung_sums = jnp.sum(lungs5)
+        else:
+            lung_sums = jnp.sum(lungs5, axis=(1, 2, 3, 4))
         cle_pct = jnp.sum(cle_full, axis=(1, 2, 3, 4)) / lung_sums
         pse_pct = jnp.sum(pse_full, axis=(1, 2, 3, 4)) / lung_sums
         return {"cle_dense_outs": cle_full[..., 0],

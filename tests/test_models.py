@@ -204,3 +204,43 @@ def test_norm_wrapper_variants_oracle(rng, method):
     got, _ = mod.apply(variables, jnp.asarray(x), False,
                        mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_predict_step_batch_lung_norm_modes(rng):
+    """Strict-parity predict mode: ``batch_lung_norm=True`` reproduces the
+    reference's whole-batch normalization (``models.py:440-441``); the
+    default per-sample mode relates to it by the volume ratio, and the two
+    agree exactly at batch 1."""
+    from bodyct_dram_emph_subtype_tpu.train import TrainState, make_optimizer
+    from bodyct_dram_emph_subtype_tpu.train.steps import make_predict_step
+
+    model = get_model_by_name("med3ddram18")
+    shape = (2, 16, 24, 32)
+    x = rng.randn(*shape).astype(np.float32)
+    lungs = np.zeros(shape, np.float32)
+    lungs[0, 2:14, 4:20, 4:28] = 1.0   # sample volumes differ
+    lungs[1, 4:10, 6:16, 8:20] = 1.0
+    ess = (rng.rand(*shape) > 0.5).astype(np.float32) * lungs
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x)[..., None],
+                           jnp.asarray(lungs)[..., None], train=False)
+    state = TrainState.create(dict(variables), make_optimizer())
+
+    per_sample = make_predict_step(model)(state, x, lungs, ess)
+    batch_norm = make_predict_step(model, batch_lung_norm=True)(
+        state, x, lungs, ess)
+
+    vol = lungs.reshape(2, -1).sum(1)
+    for key in ("cle_precentages", "pse_precentages"):
+        got = np.asarray(batch_norm[key])
+        want = np.asarray(per_sample[key]) * vol / vol.sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        assert not np.allclose(got, np.asarray(per_sample[key]))
+
+    # batch 1: the two modes coincide
+    one = make_predict_step(model)(state, x[:1], lungs[:1], ess[:1])
+    one_b = make_predict_step(model, batch_lung_norm=True)(
+        state, x[:1], lungs[:1], ess[:1])
+    np.testing.assert_allclose(np.asarray(one["cle_precentages"]),
+                               np.asarray(one_b["cle_precentages"]),
+                               rtol=1e-6)
