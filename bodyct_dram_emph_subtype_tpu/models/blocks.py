@@ -32,6 +32,105 @@ kaiming_normal_fan_out = nn.initializers.variance_scaling(
     2.0, "fan_out", "normal")  # == torch kaiming_normal_(mode='fan_out')
 
 
+# ---------------------------------------------------------------------------
+# 3-D conv lowering mode.
+#
+# XLA-TPU's direct 3-D convolution path underperforms badly at this model's
+# shapes (the dilated case measured 8-2600x slow, DEVNOTES.md); a k-deep 3-D
+# conv decomposes exactly into ``kd`` 2-D convs over depth taps with D folded
+# into the batch dim, riding XLA-TPU's best-tuned NHWC conv2d path:
+#
+#   direct — one lax 3-D conv (XLA decides the lowering)
+#   d2sum  — kd x conv2d over depth taps, accumulated       (no extra memory)
+#   d2cat  — depth taps concatenated into channels, 1 conv2d (kd x input mem)
+#
+# The default comes from $BODYCT_CONV3D_MODE; benchmarks pick the winner on
+# real hardware (benchmarks/exp_conv_decomp.py).
+# ---------------------------------------------------------------------------
+import os as _os
+
+_CONV3D_MODE = _os.environ.get("BODYCT_CONV3D_MODE", "direct")
+
+
+def set_conv3d_mode(mode: str) -> None:
+    """Set the global 3-D conv lowering ('direct' | 'd2sum' | 'd2cat').
+    Takes effect at the next trace (jit programs already compiled keep
+    their lowering)."""
+    global _CONV3D_MODE
+    assert mode in ("direct", "d2sum", "d2cat"), mode
+    _CONV3D_MODE = mode
+
+
+def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
+    """Functional 3-D conv on NDHWC activations with a DHWIO kernel.
+
+    ``padding`` is ``((pd0,pd1),(ph0,ph1),(pw0,pw1))``; defaults to
+    torch-style symmetric ``(k-1)//2``.  All modes are numerically
+    identical up to float reassociation (oracle-tested vs the direct path).
+    """
+    kd, kh, kw = kernel.shape[:3]
+    if padding is None:
+        padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
+    mode = mode or _CONV3D_MODE
+    if mode == "direct" or kd == 1:
+        return jax.lax.conv_general_dilated(
+            x, kernel, strides, list(padding),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    sd, sh, sw = strides
+    (pd0, pd1), ph, pw = padding
+    B, D, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (pd0, pd1), (0, 0), (0, 0), (0, 0)))
+    Dp = D + pd0 + pd1
+    Do = (Dp - kd) // sd + 1
+
+    def tap(t):
+        xt = jax.lax.slice_in_dim(xp, t, t + (Do - 1) * sd + 1, sd, axis=1)
+        return xt.reshape(B * Do, H, W, C)
+
+    if mode == "d2sum":
+        out = None
+        for t in range(kd):
+            y = jax.lax.conv_general_dilated(
+                tap(t), kernel[t], (sh, sw), [ph, pw],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+    else:  # d2cat
+        xcat = jnp.concatenate([tap(t) for t in range(kd)], axis=-1)
+        kcat = jnp.concatenate([kernel[t] for t in range(kd)], axis=2)
+        out = jax.lax.conv_general_dilated(
+            xcat, kcat, (sh, sw), [ph, pw],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.reshape(B, Do, *out.shape[1:])
+
+
+class Conv3d(nn.Module):
+    """3-D conv module with the decomposed TPU lowering.
+
+    Param layout matches ``nn.Conv`` exactly (kernel DHWIO + optional bias)
+    so torch-checkpoint import and Orbax checkpoints are oblivious to the
+    lowering choice.
+    """
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal_fan_out,
+                            (*self.kernel_size, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        out = conv3d_apply(x.astype(dtype), kernel.astype(dtype),
+                           self.strides)
+        if bias is not None:
+            out = out + bias.astype(dtype)
+        return out
+
+
 class NormWrapper(nn.Module):
     """Norm selector (reference ``normal_wrapper``, ``med3d.py:10-28``).
 
@@ -95,6 +194,9 @@ def conv3d(features: int, kernel: int | Tuple[int, int, int], stride=1,
         assert all(s == 1 for s in stride), "dilated convs are stride-1 here"
         return DilatedConv3d(features, kernel, dilation[0], bias, name=name,
                              dtype=dtype)
+    if _CONV3D_MODE != "direct" and kernel[0] > 1:
+        return Conv3d(features, kernel_size=kernel, strides=stride,
+                      use_bias=bias, name=name, dtype=dtype)
     padding = [(d * (k - 1) // 2, d * (k - 1) // 2)
                for k, d in zip(kernel, dilation)]
     return nn.Conv(features, kernel_size=kernel, strides=stride,
@@ -144,12 +246,11 @@ class DilatedConv3d(nn.Module):
         xs = x.reshape(B, Dp // d, d, Hp // d, d, Wp // d, d, C)
         xs = xs.transpose(0, 2, 4, 6, 1, 3, 5, 7)
         xs = xs.reshape(B * d * d * d, Dp // d, Hp // d, Wp // d, C)
-        out = jax.lax.conv_general_dilated(
+        out = conv3d_apply(
             xs, kernel, (1, 1, 1),
-            [( (kd - 1) // 2, (kd - 1) // 2),
+            (((kd - 1) // 2, (kd - 1) // 2),
              ((kh - 1) // 2, (kh - 1) // 2),
-             ((kw - 1) // 2, (kw - 1) // 2)],
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+             ((kw - 1) // 2, (kw - 1) // 2)))
         out = out.reshape(B, d, d, d, Dp // d, Hp // d, Wp // d,
                           self.features)
         out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7)

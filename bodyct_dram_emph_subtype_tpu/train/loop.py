@@ -124,7 +124,8 @@ class SubtypeTrainer:
         make = make_reg_train_step if self.mode == "reg" else make_cls_train_step
         self._train_step = make(self.model, self.tx, n_data,
                                 fused_input=fused,
-                                target_size=tuple(config.target_size))
+                                target_size=tuple(config.target_size),
+                                donate=True)
         self._eval_step = make_eval_step(self.model, self.mode)
         self._predict_step = make_predict_step(self.model)
         self.state: Optional[TrainState] = None

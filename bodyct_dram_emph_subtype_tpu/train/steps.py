@@ -78,11 +78,17 @@ def _batch_inputs(batch, fused_input, target_size):
 
 def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
                         augment: bool = True, fused_input: bool = False,
-                        target_size=(128, 224, 288)):
-    """dRAM (regression) training step (``models.py:539-592`` TRAIN branch)."""
+                        target_size=(128, 224, 288), donate: bool = False):
+    """dRAM (regression) training step (``models.py:539-592`` TRAIN branch).
+
+    ``donate=True`` donates the incoming ``state`` buffers to the update
+    (params + opt state alias in place, saving one full copy of both in
+    HBM) — only safe when the caller overwrites its reference, i.e. the
+    ``state = step(state, ...)`` pattern of the training loop.
+    """
     tx = tx or make_optimizer()
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batch: Dict[str, jax.Array], lr,
              cle_class_weights, pse_class_weights, key):
         images, lungs, ems = _batch_inputs(batch, fused_input, target_size)
@@ -138,16 +144,17 @@ def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
 
 def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
                         augment: bool = True, fused_input: bool = False,
-                        target_size=(128, 224, 288)):
+                        target_size=(128, 224, 288), donate: bool = False):
     """Classification training step (``models.py:236-264`` TRAIN branch):
     weighted CE on pooled CLE+PSE logits.
 
     Multi-chip note: the reference's DDP averages per-rank weighted means;
     we compute the global-batch weighted mean (identical at world size 1 and
-    the unbiased estimator in general)."""
+    the unbiased estimator in general).  ``donate`` as in
+    :func:`make_reg_train_step`."""
     tx = tx or make_optimizer()
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, batch, lr, cle_class_weights,
              pse_class_weights, key):
         images, lungs, ems = _batch_inputs(batch, fused_input, target_size)

@@ -244,3 +244,34 @@ def test_predict_step_batch_lung_norm_modes(rng):
     np.testing.assert_allclose(np.asarray(one["cle_precentages"]),
                                np.asarray(one_b["cle_precentages"]),
                                rtol=1e-6)
+
+
+def test_conv3d_lowering_modes_match(rng):
+    """The depth-decomposed conv lowerings (d2sum/d2cat) must match the
+    direct 3-D conv — same outputs (float reassociation only) and the same
+    param tree, so checkpoints and torch import are lowering-oblivious."""
+    from bodyct_dram_emph_subtype_tpu.models import blocks
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+
+    model = ResNetSegReg(layers=(1, 1, 1, 1))
+    x = jnp.asarray(rng.randn(2, 16, 32, 32, 1).astype(np.float32))
+    lungs = jnp.ones_like(x)
+    try:
+        blocks.set_conv3d_mode("direct")
+        variables = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
+        dense_ref, regs_ref = model.apply(variables, x, lungs, train=False)
+        for mode in ("d2sum", "d2cat"):
+            blocks.set_conv3d_mode(mode)
+            v2 = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
+            assert (jax.tree_util.tree_structure(v2)
+                    == jax.tree_util.tree_structure(variables))
+            dense, regs = model.apply(variables, x, lungs, train=False)
+            np.testing.assert_allclose(np.asarray(dense[0]),
+                                       np.asarray(dense_ref[0]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(regs[0]),
+                                       np.asarray(regs_ref[0]),
+                                       rtol=1e-4, atol=1e-6)
+    finally:
+        blocks.set_conv3d_mode(
+            blocks._os.environ.get("BODYCT_CONV3D_MODE", "direct"))

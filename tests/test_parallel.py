@@ -23,9 +23,20 @@ from bodyct_dram_emph_subtype_tpu.train import (
 )
 
 
-def _state_and_batch(batch=8, shape=(16, 32, 32)):
+@pytest.fixture(scope="module")
+def setup():
+    """One model/state/batch for the whole module (big CPU-compile savings).
+
+    The model is a 1-block-per-layer ``ResNetSegReg`` — it keeps every
+    structural element that matters for sharding semantics (stride-2 stem,
+    shortcut downsamples, dilated layer3/4 via space-to-batch, decoder
+    upsample/concat, masked pooling) at a fraction of the compile time of
+    the full med3ddram18.  Tests needing a smaller batch slice the batch-8
+    arrays."""
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+    batch, shape = 8, (16, 32, 32)
     rng = np.random.RandomState(0)
-    model = get_model_by_name("med3ddram18")
+    model = ResNetSegReg(layers=(1, 1, 1, 1))
     x = jnp.zeros((1, *shape, 1), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
     tx = make_optimizer()
@@ -40,13 +51,17 @@ def _state_and_batch(batch=8, shape=(16, 32, 32)):
     return model, tx, state, host_batch
 
 
-def test_dp_matches_single_device():
+def _slice_batch(host_batch, n):
+    return {k: v[:n] for k, v in host_batch.items()}
+
+
+def test_dp_matches_single_device(setup):
     """Grad step over an 8-way data mesh == the same step on 1 device.
 
     Sum-reduced losses are divided by the shard count in the step, so with
     identical global batches the updates must agree; BatchNorm stats are
     global either way (GSPMD reduces over the sharded batch dim)."""
-    model, tx, state, host_batch = _state_and_batch()
+    model, tx, state, host_batch = setup
     args = (jnp.asarray(1e-3), jnp.ones(6, jnp.float32) / 6,
             jnp.ones(3, jnp.float32) / 3, jax.random.PRNGKey(1))
 
@@ -89,10 +104,11 @@ def test_dp_matches_single_device():
                                   np.asarray(p1["pred_cle_labels"]))
 
 
-def test_spatial_sharding_matches_unsharded():
+def test_spatial_sharding_matches_unsharded(setup):
     """H-axis spatial sharding (halo-exchanged convs) must be numerically
     equivalent to unsharded execution."""
-    model, tx, state, host_batch = _state_and_batch(batch=2)
+    model, tx, state, host_batch = setup
+    host_batch = _slice_batch(host_batch, 2)
     fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False))
     x = jnp.asarray(host_batch["image"])[..., None]
     lungs = jnp.asarray(host_batch["lung_mask"])[..., None]
@@ -110,11 +126,12 @@ def test_spatial_sharding_matches_unsharded():
                                atol=1e-4)
 
 
-def test_tensor_parallel_matches_replicated():
+def test_tensor_parallel_matches_replicated(setup):
     """Channel-sharded params ('model' axis TP) must give the same forward
     results as replicated params."""
     from bodyct_dram_emph_subtype_tpu.parallel.mesh import shard_params_tp
-    model, tx, state, host_batch = _state_and_batch(batch=2)
+    model, tx, state, host_batch = setup
+    host_batch = _slice_batch(host_batch, 2)
     fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False)[1])
     x = jnp.asarray(host_batch["image"])[..., None]
     lungs = jnp.asarray(host_batch["lung_mask"])[..., None]
