@@ -1,16 +1,21 @@
 #!/usr/bin/env python
-"""End-to-end inference benchmark on real TPU hardware.
+"""End-to-end benchmarks on real TPU hardware — ONE JSON line out.
 
-Measures the deployment pipeline of the flagship dRAM model (med3ddram ==
-resnet34segreg, the reference's deployment default, ``processor.py:59``):
+Headline: CT volumes/sec/chip through the deployment pipeline of the
+flagship dRAM model (med3ddram == resnet34segreg, the reference's
+deployment default, ``processor.py:59``):
 
-  host int16 volumes (+ bit-packed lung masks) → device transfer → fused
-  on-device preprocess (window/standardize/resize + −910 ess mask) →
-  forward → dRAM maps upsampled + masked → lesion percentages
+  host int16 volumes (12-bit packed) + bit-packed lung masks → device
+  transfer → fused on-device preprocess (window/standardize/resize + −910
+  ess mask) → forward → dRAM maps upsampled + masked → lesion percentages
 
-and reports ONE JSON line: CT volumes/sec/chip end-to-end (best of three
-trials — the dev tunnel's host link throughput varies over time), with the
-compute-only (device-resident) throughput as a secondary field.
+Secondary fields in the same JSON line:
+  compute_only_vols_per_sec_per_chip — device-resident inputs
+  train_vols_per_sec_per_chip        — bf16 remat+donated train step
+  processor_e2e_vols_per_sec         — the FULL deployment processor on
+      synthetic 192^3 MHA pairs: MHA decode, lung dilate, bbox crop,
+      forward, un-crop into original geometry, MHA+JSON writes
+      (BASELINE.json config #5)
 
 ``vs_baseline``: the reference publishes no throughput numbers (SURVEY.md
 §6).  The comparison constant below is an *estimate* of the reference
@@ -19,9 +24,19 @@ PyTorch pipeline end-to-end on one A100: ~3.5 TFLOP/volume forward at TF32
 to roughly 2 vol/s under the deployment contract (2 CPUs,
 ``Dockerfile:88-93``).  The BASELINE.json north star (≥5x A100 e2e on a
 v5e-8) then corresponds to vs_baseline ≥ 1.25 per chip.
+
+Transfer scheduling: the dev-tunnel relay penalises device_put interleaved
+with dispatches (~2 s/iter regardless of bytes, DEVNOTES.md); the default
+schedule stages each trial's batches before dispatching (double-buffer
+depth measured best by ``benchmarks/exp_link.py``).
 """
+import argparse
 import json
+import os
+import shutil
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -34,35 +49,27 @@ ITERS = 6
 TRIALS = 4
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _force_fetch(out):
+    """The axon relay's block_until_ready can return early; a host fetch of
+    some output is the only reliable completion barrier."""
+    return np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
+def bench_inference(jax, jnp, schedule="puts_first"):
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.ops.packing import (pack12_host,
                                                           unpack12_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
     from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear_matmul
 
-    n_dev = len(jax.devices())
     model = get_model_by_name("med3ddram", dtype=jnp.bfloat16)
     x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
         jax.random.PRNGKey(0))
-
     n_vox = int(np.prod(PAD_SHAPE))
 
     @jax.jit
     def pipeline(variables, raw_packed, lung_bits, in_sizes):
-        # device-side unpack: 12-bit CT voxels + bit-packed lung mask
-        # (25% / 87.5% fewer link bytes respectively)
         raw = unpack12_device(raw_packed, PAD_SHAPE)
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
@@ -98,25 +105,24 @@ def main():
     host_batches = [make_host_batch(s) for s in range(2)]
 
     # warmup / compile
-    img, lung_bits, sizes = host_batches[0]
-    out = pipeline(variables, jax.device_put(img), jax.device_put(lung_bits),
-                   jax.device_put(sizes))
-    np.asarray(out[0])
+    out = pipeline(variables, *[jax.device_put(a) for a in host_batches[0]])
+    _force_fetch(out)
 
-    # end-to-end (transfer + compute, pipelined: results fetched at the end
-    # of each trial — scores are tiny and deployments consume them in
-    # batches), best of TRIALS
     best_e2e = 0.0
     for _ in range(TRIALS):
         t0 = time.time()
-        for it in range(ITERS):
-            img, lung_bits, sizes = host_batches[it % 2]
-            out = pipeline(variables, jax.device_put(img),
-                           jax.device_put(lung_bits), jax.device_put(sizes))
-        np.asarray(out[0])
+        if schedule == "interleaved":
+            for it in range(ITERS):
+                out = pipeline(variables, *[jax.device_put(a)
+                                            for a in host_batches[it % 2]])
+        else:  # puts_first: stage the trial's transfers, then dispatch
+            staged = [[jax.device_put(a) for a in host_batches[it % 2]]
+                      for it in range(ITERS)]
+            for dev in staged:
+                out = pipeline(variables, *dev)
+        _force_fetch(out)
         best_e2e = max(best_e2e, ITERS * BATCH / (time.time() - t0))
 
-    # compute-only (device-resident inputs), best of TRIALS
     dev = [jax.device_put(a) for a in host_batches[0]]
     jax.block_until_ready(dev)
     best_compute = 0.0
@@ -124,20 +130,157 @@ def main():
         t0 = time.time()
         for it in range(ITERS):
             out = pipeline(variables, *dev)
-        np.asarray(out[0])
+        _force_fetch(out)
         best_compute = max(best_compute, ITERS * BATCH / (time.time() - t0))
+    return best_e2e, best_compute
 
-    per_chip = best_e2e / max(n_dev, 1)
-    print(json.dumps({
+
+def bench_train(jax, jnp):
+    """bf16 remat+donated dRAM train step; falls back B=4 → B=2 on OOM."""
+    from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
+    from bodyct_dram_emph_subtype_tpu.train import (
+        TrainState, make_optimizer, make_reg_train_step)
+
+    for batch in (4, 2):
+        try:
+            model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
+                                      remat=True)
+            x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
+            v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
+                jax.random.PRNGKey(0))
+            tx = make_optimizer()
+            state = TrainState.create(dict(v), tx)
+            step = make_reg_train_step(model, tx, num_data_shards=1,
+                                       donate=True)
+            r = np.random.RandomState(0)
+            b = {
+                "image": jnp.asarray(
+                    r.randn(batch, *TARGET).astype(np.float32)),
+                "lung_mask": jnp.ones((batch, *TARGET), jnp.float32),
+                "em_mask": jnp.asarray(
+                    (r.rand(batch, *TARGET) > 0.9).astype(np.float32)),
+                "cls_label": jnp.asarray(r.randint(0, 6, batch), jnp.int32),
+                "pse_label": jnp.asarray(r.randint(0, 3, batch), jnp.int32),
+            }
+            sargs = (jnp.asarray(1e-4), jnp.ones(6) / 6, jnp.ones(3) / 3,
+                     jax.random.PRNGKey(1))
+            state, m, _ = step(state, b, *sargs)
+            _ = float(m["loss"])
+            n = 5
+            t0 = time.time()
+            for _ in range(n):
+                state, m, _ = step(state, b, *sargs)
+            _ = float(m["loss"])
+            ms = (time.time() - t0) / n * 1e3
+            return batch / (ms / 1e3), batch, ms
+        except Exception:  # noqa: BLE001 — OOM at this batch; try smaller
+            continue
+    return 0.0, 0, 0.0
+
+
+def bench_processor(jax):
+    """Full deployment processor on synthetic 192^3 MHA pairs — the
+    BASELINE.json config-#5 scenario, everything included."""
+    from bodyct_dram_emph_subtype_tpu.data.mha import write_mha
+    from bodyct_dram_emph_subtype_tpu.inference import run_inference
+
+    n_scans = 4
+    shape = (192, 192, 192)
+    root = Path(tempfile.mkdtemp(prefix="bench_proc_"))
+    scan_dir = root / "input" / "images" / "ct"
+    lobe_dir = root / "input" / "images" / "pulmonary-lobes"
+    out_dir = root / "output"
+    scan_dir.mkdir(parents=True)
+    lobe_dir.mkdir(parents=True)
+    out_dir.mkdir()
+    try:
+        zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+        lobe = ((((zz - 96) / 70.0) ** 2 + ((yy - 96) / 60.0) ** 2
+                 + ((xx - 96) / 70.0) ** 2) < 1)
+        for i in range(n_scans):
+            r = np.random.RandomState(i)
+            ct = np.full(shape, -600, np.int16)
+            ct[lobe] = (-880 + 60 * r.randn(int(lobe.sum()))).astype(np.int16)
+            write_mha(scan_dir / f"scan{i}.mha", ct, (0.7, 0.7, 0.7),
+                      (0.0, 0.0, 0.0))
+            write_mha(lobe_dir / f"scan{i}.mha", lobe.astype(np.uint8),
+                      (0.7, 0.7, 0.7), (0.0, 0.0, 0.0))
+
+        kwargs = dict(model_arch="med3ddram", ckp_path=None,
+                      target_size=TARGET, batch_size=2, workers=2, nchips=1,
+                      compute_dtype="bfloat16")
+        # warmup (compiles the predict program), then the timed fresh run
+        run_inference(str(scan_dir), str(lobe_dir), str(out_dir), **kwargs)
+        shutil.rmtree(out_dir)
+        out_dir.mkdir()
+        t0 = time.time()
+        results = run_inference(str(scan_dir), str(lobe_dir), str(out_dir),
+                                **kwargs)
+        dt = time.time() - t0
+        assert len(results) == n_scans
+        return n_scans / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--skip-processor", action="store_true")
+    p.add_argument("--schedule", default="puts_first",
+                   choices=["puts_first", "interleaved"])
+    p.add_argument("--conv-mode", default=os.environ.get(
+        "BODYCT_CONV3D_MODE", "pallas"))
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from bodyct_dram_emph_subtype_tpu.models import blocks
+    blocks.set_conv3d_mode(args.conv_mode)
+
+    n_dev = max(len(jax.devices()), 1)
+    best_e2e, best_compute = bench_inference(jax, jnp, args.schedule)
+
+    result = {
         "metric": "ct_volumes_per_sec_per_chip_e2e",
-        "value": round(per_chip, 3),
+        "value": round(best_e2e / n_dev, 3),
         "unit": "volumes/s/chip",
-        "vs_baseline": round(per_chip / REFERENCE_A100_E2E_VOLS_PER_SEC, 3),
-        "compute_only_vols_per_sec_per_chip":
-            round(best_compute / max(n_dev, 1), 3),
+        "vs_baseline": round(best_e2e / n_dev
+                             / REFERENCE_A100_E2E_VOLS_PER_SEC, 3),
+        "compute_only_vols_per_sec_per_chip": round(best_compute / n_dev, 3),
         "batch": BATCH,
         "model": "med3ddram(resnet34segreg)",
-    }))
+        "conv_mode": args.conv_mode,
+    }
+
+    if not args.skip_train:
+        try:
+            # training keeps the XLA lowering (pallas fwd pairs with an XLA
+            # backward anyway; remat prefers one program shape)
+            blocks.set_conv3d_mode("direct")
+            tput, tb, tms = bench_train(jax, jnp)
+            result.update(train_vols_per_sec_per_chip=round(tput / n_dev, 2),
+                          train_batch=tb, train_ms_per_step=round(tms, 1))
+        except Exception as e:  # noqa: BLE001
+            result["train_error"] = type(e).__name__
+        finally:
+            blocks.set_conv3d_mode(args.conv_mode)
+
+    if not args.skip_processor:
+        try:
+            result["processor_e2e_vols_per_sec"] = round(
+                bench_processor(jax), 3)
+        except Exception as e:  # noqa: BLE001
+            result["processor_error"] = type(e).__name__
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

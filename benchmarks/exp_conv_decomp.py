@@ -104,6 +104,32 @@ def main():
         _bench(f"{tag}_c2d_sum", conv3d_as_2d_sum, (x, k), flops)
         _bench(f"{tag}_c2d_cat", conv3d_as_2d_cat, (x, k), flops)
 
+    if "pallas" in cases:
+        # Pallas im2col conv vs direct, decoder shapes
+        from bodyct_dram_emph_subtype_tpu.ops.pallas_conv import pallas_conv3d
+        for tag, (B, D, H, W, Cin, Cout) in {
+                "pl64": (4, 64, 112, 144, 64, 64),
+                "pl128": (4, 64, 112, 144, 128, 64),
+                "pl_us1": (4, 32, 56, 72, 576, 64),
+        }.items():
+            x = mk((B, D, H, W, Cin))
+            k = mk((3, 3, 3, Cin, Cout))
+            flops = 2 * B * D * H * W * 27 * Cin * Cout
+            _bench(f"{tag}_pallas", pallas_conv3d, (x, k), flops)
+    if "packed128" in cases:
+        # the W-pair-packed decoder shape: (B,D,H,W/2,128) — predicts the
+        # speed of a packed decoder conv (2x the logical 64->64 FLOPs)
+        x = mk((4, 64, 112, 72, 128))
+        k = mk((3, 3, 3, 128, 128))
+        flops = 2 * 4 * 64 * 112 * 72 * 27 * 128 * 128
+        _bench("packed128_c3d", conv3d_direct, (x, k), flops)
+    if "stem64" in cases:
+        # stem-like: 64ch @ full half-res (4,64,112,144) 64->64 for reference
+        # of conv3d MFU vs the 128ch packed variant at equal voxel count
+        x = mk((4, 64, 112, 144, 64))
+        k = mk((3, 3, 3, 64, 64))
+        _bench("stem64_c3d_rerun", conv3d_direct, (x, k),
+               2 * 4 * 64 * 112 * 144 * 27 * 64 * 64)
     if "dec64" in cases:
         # us2.conv2 / us3: 64->64 @ (4,64,112,144) — the measured 10%-MFU zone
         run_case("dec64", 4, 64, 112, 144, 64, 64)

@@ -42,6 +42,8 @@ def main():
     parser.add_argument("--which", default="fwd,preprocess,upsample")
     parser.add_argument("--batch", default=4, type=int)
     parser.add_argument("--arch", default="med3ddram")
+    parser.add_argument("--packed", action="store_true",
+                        help="W-pair packed decoder (models/packed.py)")
     args = parser.parse_args()
     which = set(args.which.split(","))
     B = args.batch
@@ -58,14 +60,16 @@ def main():
     rng = np.random.RandomState(0)
 
     if "fwd" in which:
-        model = get_model_by_name(args.arch, dtype=jnp.bfloat16)
+        model = get_model_by_name(args.arch, dtype=jnp.bfloat16,
+                                  packed_decoder=args.packed)
         x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
         v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
             jax.random.PRNGKey(0))
         x = jnp.asarray(rng.randn(B, *TARGET, 1).astype(np.float32))
         l = jnp.ones((B, *TARGET, 1), jnp.float32)
         fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False)[1])
-        _bench(f"{args.arch}_fwd", fwd, v, x, l,
+        tag = "_packed" if args.packed else ""
+        _bench(f"{args.arch}_fwd{tag}", fwd, v, x, l,
                extra={"batch": B, "input": list(TARGET)})
 
     if "preprocess" in which:
@@ -79,11 +83,24 @@ def main():
                extra={"batch": B, "pad": list(PAD)})
 
     if "upsample" in which:
+        from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear_matmul
         d = jnp.zeros((B, 64, 112, 144, 1), jnp.float32)
         e = jnp.ones((B, *TARGET, 1), jnp.float32)
-        up = jax.jit(lambda d, e: resize_linear(
+        up = jax.jit(lambda d, e: resize_linear_matmul(
             d, TARGET, (1, 2, 3), align_corners=True) * e)
-        _bench("dram_upsample_mask", up, d, e, extra={"batch": B})
+        _bench("dram_upsample_mask_matmul", up, d, e, extra={"batch": B})
+
+    if "stages" in which:
+        # trunk-only forward; decoder cost ≈ full fwd − trunk
+        from bodyct_dram_emph_subtype_tpu.models.blocks import BasicBlock
+        from bodyct_dram_emph_subtype_tpu.models.resnet3d import _Trunk
+        trunk = _Trunk(BasicBlock, (3, 4, 6, 3), jnp.bfloat16)
+        x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
+        tv = jax.jit(lambda k: trunk.init(k, x0, train=False))(
+            jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.randn(B, *TARGET, 1).astype(np.float32))
+        tf_ = jax.jit(lambda v, x: trunk.apply(v, x, train=False)[2])
+        _bench("trunk_only_fwd", tf_, tv, x, extra={"batch": B})
 
     if "train" in which:
         from bodyct_dram_emph_subtype_tpu.train import (

@@ -53,11 +53,11 @@ _CONV3D_MODE = _os.environ.get("BODYCT_CONV3D_MODE", "direct")
 
 
 def set_conv3d_mode(mode: str) -> None:
-    """Set the global 3-D conv lowering ('direct' | 'd2sum' | 'd2cat').
-    Takes effect at the next trace (jit programs already compiled keep
-    their lowering)."""
+    """Set the global 3-D conv lowering ('direct' | 'd2sum' | 'd2cat' |
+    'pallas').  Takes effect at the next trace (jit programs already
+    compiled keep their lowering)."""
     global _CONV3D_MODE
-    assert mode in ("direct", "d2sum", "d2cat"), mode
+    assert mode in ("direct", "d2sum", "d2cat", "pallas"), mode
     _CONV3D_MODE = mode
 
 
@@ -72,6 +72,14 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
     if padding is None:
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
     mode = mode or _CONV3D_MODE
+    if mode == "pallas":
+        from ..ops.pallas_conv import pallas_conv3d, supports_pallas_conv3d
+        if (strides == (1, 1, 1)
+                and padding == ((1, 1), (1, 1), (1, 1))
+                and supports_pallas_conv3d(x.shape, kernel.shape, strides,
+                                           x.dtype.itemsize)):
+            return pallas_conv3d(x, kernel)
+        mode = "direct"  # unsupported shape: stem k7/stride-2/huge weights
     if mode == "direct" or kd == 1:
         return jax.lax.conv_general_dilated(
             x, kernel, strides, list(padding),

@@ -1,0 +1,177 @@
+"""W-pair channel packing for the decoder: 64-channel convs at 128 lanes.
+
+Measured on the v5e chip (``benchmarks/exp_conv_decomp.py``): XLA's direct
+3-D conv runs at 15.3 TFLOP/s on the decoder's 64-channel activations
+(half-empty MXU lanes + 2x HBM layout padding of bf16 (16,128) tiles) but
+70.4 TFLOP/s at 128 channels.  Packing two adjacent W positions into the
+channel dim fixes both: activations become (B, D, H, W/2, 2C) — and because
+the layout is channel-minor, packing is a *pure reshape* (the flat order
+``w*C + c`` equals ``w'*(2C) + p*C + c`` for ``w = 2w' + p``).
+
+A logical stride-1 pad-1 k=3 conv becomes a conv on the packed layout with
+a structured (3,3,3,2Ci,2Co) kernel: output parity q at packed position w'
+reads input parities p at packed offsets u with ``2u + p = q + kw - 1``:
+
+    q=0:  (u=-1,p=1)<-kw0   (u=0,p=0)<-kw1   (u=0,p=1)<-kw2
+    q=1:  (u=0,p=0)<-kw0    (u=0,p=1)<-kw1   (u=1,p=0)<-kw2
+
+Half the packed kernel is structurally zero (2x logical FLOPs) — but 2x
+FLOPs at 70 TFLOP/s beats 1x at 15.  The packed modules declare the SAME
+parameter names and logical shapes as their unpacked twins, so checkpoints,
+torch import, and the registry are oblivious.
+
+Reference modules being accelerated: ``UpsampleConvBlock5d`` + decoder
+(``med3d.py:50-89, 215-229``).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import crop_concat, kaiming_normal_fan_out
+
+Dtype = Any
+
+
+def pack_w(x: jax.Array) -> jax.Array:
+    """(..., W, C) → (..., W/2, 2C); a pure reshape in channel-minor layout."""
+    assert x.shape[-2] % 2 == 0, f"W must be even to pack, got {x.shape}"
+    return x.reshape(*x.shape[:-2], x.shape[-2] // 2, 2 * x.shape[-1])
+
+
+def unpack_w(x: jax.Array) -> jax.Array:
+    """(..., W/2, 2C) → (..., W, C); inverse of :func:`pack_w`."""
+    assert x.shape[-1] % 2 == 0
+    return x.reshape(*x.shape[:-2], x.shape[-2] * 2, x.shape[-1] // 2)
+
+
+def build_packed_kernel_k3(k: jax.Array) -> jax.Array:
+    """(3,3,3,Ci,Co) logical kernel → (3,3,3,2Ci,2Co) packed-domain kernel."""
+    kd, kh, kw, ci, co = k.shape
+    assert kw == 3, kw
+    kp = jnp.zeros((kd, kh, 3, 2 * ci, 2 * co), k.dtype)
+    table = [  # (q, u_idx, p, kw_tap): 2(u_idx-1) + p == q + kw_tap - 1
+        (0, 0, 1, 0), (0, 1, 0, 1), (0, 1, 1, 2),
+        (1, 1, 0, 0), (1, 1, 1, 1), (1, 2, 0, 2),
+    ]
+    for q, u, p, t in table:
+        kp = kp.at[:, :, u, p * ci:(p + 1) * ci,
+                   q * co:(q + 1) * co].set(k[:, :, t])
+    return kp
+
+
+def build_packed_kernel_k1(k: jax.Array) -> jax.Array:
+    """(1,1,1,Ci,Co) → (1,1,1,2Ci,2Co) block-diagonal packed kernel."""
+    _, _, _, ci, co = k.shape
+    kp = jnp.zeros((1, 1, 1, 2 * ci, 2 * co), k.dtype)
+    for p in (0, 1):
+        kp = kp.at[0, 0, 0, p * ci:(p + 1) * ci,
+                   p * co:(p + 1) * co].set(k[0, 0, 0])
+    return kp
+
+
+class PackedConv3(nn.Module):
+    """k=3 s=1 conv applied in the packed domain.  Param layout (kernel
+    DHWIO at the LOGICAL channel counts + optional bias) matches
+    ``nn.Conv``/``conv3d`` exactly."""
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xp):
+        ci = xp.shape[-1] // 2
+        kernel = self.param("kernel", kaiming_normal_fan_out,
+                            (3, 3, 3, ci, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        dtype = self.dtype or xp.dtype
+        kp = build_packed_kernel_k3(kernel.astype(dtype))
+        out = jax.lax.conv_general_dilated(
+            xp.astype(dtype), kp, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if bias is not None:
+            out = out + jnp.tile(bias.astype(dtype), 2)
+        return out
+
+
+class _PackedBN(nn.Module):
+    """BatchNorm on packed activations with the LOGICAL per-channel stats:
+    packed-channel moments are combined across the two parities, so the
+    result (and the running statistics) are bit-comparable to unpacked
+    ``nn.BatchNorm`` up to float reassociation.  Variable tree matches
+    ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var of shape (C,))."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xp, train: bool):
+        c2 = xp.shape[-1]
+        c = c2 // 2
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (c,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (c,), jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if train:
+            xf = xp.astype(jnp.float32)
+            m_p = jnp.mean(xf, axis=(0, 1, 2, 3))        # per packed channel
+            e2_p = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
+            mean = 0.5 * (m_p[:c] + m_p[c:])
+            var = 0.5 * (e2_p[:c] + e2_p[c:]) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        dtype = self.dtype or xp.dtype
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(jnp.float32)
+        add = (bias - mean * mul).astype(jnp.float32)
+        y = xp.astype(jnp.float32) * jnp.tile(mul, 2) + jnp.tile(add, 2)
+        return y.astype(dtype)
+
+
+class PackedNormWrapper(nn.Module):
+    """Packed-domain ``NormWrapper`` (only the 'bn' method the model zoo
+    uses); nests the child as ``bn`` so the variable tree is identical."""
+    method: str = "bn"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xp, train: bool):
+        assert self.method in ("bn", "sbn"), self.method
+        return _PackedBN(dtype=self.dtype, name="bn")(xp, train)
+
+
+class PackedUpsampleConvBlock(nn.Module):
+    """Packed-domain twin of ``UpsampleConvBlock``: upsample + crop-concat
+    unpacked (matmul resize), then the conv/BN/ReLU stages at 2C lanes."""
+    base_chs: Sequence[int]
+    scale_factor: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, inputs, cats, train: bool):
+        from ..ops.resize import resize_linear_matmul
+        d, h, w = inputs.shape[1:4]
+        up = resize_linear_matmul(inputs, (d * self.scale_factor,
+                                           h * self.scale_factor,
+                                           w * self.scale_factor),
+                                  (1, 2, 3), align_corners=True)
+        up = up.astype(inputs.dtype)
+        x = pack_w(crop_concat(up, cats))
+        for idx, ch in enumerate(self.base_chs):
+            x = PackedConv3(ch, dtype=self.dtype, name=f"conv{idx}")(x)
+            x = PackedNormWrapper(dtype=self.dtype,
+                                  name=f"norm{idx}")(x, train)
+            x = nn.relu(x)
+        return unpack_w(x)
+
+

@@ -34,7 +34,7 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bodyct_dram_emph_subtype_tpu.models import get_model_by_name  # noqa: E402
+from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg  # noqa: E402
 from bodyct_dram_emph_subtype_tpu.parallel.mesh import (  # noqa: E402
     MeshSpec, get_mesh, process_local_data, shard_batch)
 from bodyct_dram_emph_subtype_tpu.train import (  # noqa: E402
@@ -49,7 +49,10 @@ LOCAL_BATCH = GLOBAL_BATCH // NPROC
 D, H, W = 16, 32, 32
 
 mesh = get_mesh(MeshSpec(data=4))
-model = get_model_by_name("med3ddram18")
+# 1-block-per-layer dRAM model: every sharding-relevant structure of the
+# full med3ddram18 (stem, shortcut downsamples, dilated layers, decoder,
+# masked pool) at a fraction of the CPU compile time
+model = ResNetSegReg(layers=(1, 1, 1, 1))
 
 # deterministic per-process sub-batch: process p holds rows [p*LB, (p+1)*LB)
 rng = np.random.RandomState(0)

@@ -13,6 +13,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 GOLDEN_PATH = Path(__file__).parent / "goldens" / "train_goldens.json"
 ATOL = 1e-3
@@ -65,6 +66,7 @@ def _run():
             "eval": {k: round(float(v), 6) for k, v in report.items()}}
 
 
+@pytest.mark.slow
 def test_golden_training_metrics():
     assert GOLDEN_PATH.exists(), (
         f"goldens missing — run `python {__file__} --regen`")

@@ -28,3 +28,32 @@ def test_fraction_matches_reference_op(rng):
                                       interpret=True)
     want = lung_masked_fraction(jnp.asarray(dense), jnp.asarray(lung))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_pallas_conv3d_matches_direct(rng):
+    """Pallas im2col conv (interpret mode on CPU) == direct XLA 3-D conv,
+    including the custom-VJP backward."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.ops.pallas_conv import (
+        _direct_conv3d, pallas_conv3d)
+
+    x = jnp.asarray(rng.randn(2, 4, 14, 12, 6).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 6, 16).astype(np.float32))
+    ref = _direct_conv3d(x, k)
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_conv3d(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_pl(x, k):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(pallas_conv3d(x, k) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    g_ref = jax.grad(lambda x, k: jnp.sum(_direct_conv3d(x, k) ** 2),
+                     argnums=(0, 1))(x, k)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-2)

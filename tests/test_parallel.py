@@ -163,6 +163,7 @@ def test_graft_entry_single_chip_small():
     assert np.isfinite(np.asarray(regs[0])).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -39,6 +39,7 @@ def test_epoch_lr_schedule():
     np.testing.assert_allclose(epoch_lr(1e-4, 10), 1e-4 * 0.95 ** 10)
 
 
+@pytest.mark.slow
 def test_reg_training_runs_and_checkpoints(archive, tmp_path):
     cfg = _config(archive, tmp_path, "med3ddram18")
     trainer = SubtypeTrainer(cfg)
@@ -82,6 +83,7 @@ def test_reg_training_resume(archive, tmp_path):
         np.asarray(jax.tree.leaves(trainer.state.params)[0]))
 
 
+@pytest.mark.slow
 def test_cls_training_adaptive_reweighting(archive, tmp_path):
     cfg = _config(archive, tmp_path, "med3d18")
     trainer = SubtypeTrainer(cfg)
@@ -94,6 +96,7 @@ def test_cls_training_adaptive_reweighting(archive, tmp_path):
     assert not np.allclose(w_before, w_after)
 
 
+@pytest.mark.slow
 def test_device_input_pipeline_trains(archive, tmp_path):
     """input_pipeline='device': loader ships raw padded int16; window/
     standardize/resize/LAA all run fused inside the train step."""
