@@ -21,7 +21,11 @@ PORT = sys.argv[3]
 TMPDIR = sys.argv[4]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+# The collective timeout must cover per-process COMPILE skew: the Gloo
+# rendezvous default of ~30 s fails when one process reaches its first
+# collective minutes before the other (cold compile cache).
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                           "--xla_cpu_collective_timeout_seconds=600")
 
 import jax  # noqa: E402
 
@@ -80,10 +84,18 @@ tx = make_optimizer()
 state = TrainState.create(dict(variables), tx)
 train_step = make_reg_train_step(model, tx, num_data_shards=4)
 
-state, metrics, preds = train_step(
-    state, device_batch, jnp.asarray(1e-4),
-    jnp.ones(6, jnp.float32) / 6, jnp.ones(3, jnp.float32) / 3,
-    jax.random.PRNGKey(1))
+step_args = (state, device_batch, jnp.asarray(1e-4),
+             jnp.ones(6, jnp.float32) / 6, jnp.ones(3, jnp.float32) / 3,
+             jax.random.PRNGKey(1))
+# AOT-compile BEFORE the first collective execution, then barrier: per-
+# process compile times skew by minutes on a cold cache, and Gloo context
+# init inside the execution gives peers only ~30 s to show up — executing
+# unaligned fails rendezvous (observed: GetKeyValue() DEADLINE_EXCEEDED).
+compiled_step = train_step.lower(*step_args).compile()
+from jax.experimental import multihost_utils  # noqa: E402
+
+multihost_utils.sync_global_devices("mp_worker_compiled")
+state, metrics, preds = compiled_step(*step_args)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
 
