@@ -229,8 +229,11 @@ def main():
     p.add_argument("--skip-processor", action="store_true")
     p.add_argument("--schedule", default="puts_first",
                    choices=["puts_first", "interleaved"])
+    # 'direct' measured fastest IN-MODEL (XLA's fused conv schedules beat
+    # both the isolated-conv alternatives and the Pallas kernel; see
+    # DEVNOTES.md round-2 findings)
     p.add_argument("--conv-mode", default=os.environ.get(
-        "BODYCT_CONV3D_MODE", "pallas"))
+        "BODYCT_CONV3D_MODE", "direct"))
     args = p.parse_args()
 
     import jax

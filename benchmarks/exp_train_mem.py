@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 TARGET = (128, 224, 288)
 
 
-def run_config(name, batch, conv_mode, donate):
+def run_config(name, batch, conv_mode, donate, packed=False):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,8 @@ def run_config(name, batch, conv_mode, donate):
         TrainState, make_optimizer, make_reg_train_step)
 
     blocks.set_conv3d_mode(conv_mode)
-    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16, remat=True)
+    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16, remat=True,
+                              packed_decoder=packed)
     x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
     v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
         jax.random.PRNGKey(0))
@@ -89,6 +90,14 @@ def main():
         "b2": dict(batch=2, conv_mode="direct", donate=True),
         "b2_d2sum": dict(batch=2, conv_mode="d2sum", donate=True),
         "b8_d2sum": dict(batch=8, conv_mode="d2sum", donate=True),
+        # W-pair packed decoder: no 2x bf16 layout padding on decoder
+        # temps — the round-1 OOM cause — and faster 128-lane convs
+        "packed4": dict(batch=4, conv_mode="direct", donate=True,
+                        packed=True),
+        "packed2": dict(batch=2, conv_mode="direct", donate=True,
+                        packed=True),
+        "packed8": dict(batch=8, conv_mode="direct", donate=True,
+                        packed=True),
     }
     for name in args.configs.split(","):
         run_config(name, **table[name])

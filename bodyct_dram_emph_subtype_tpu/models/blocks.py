@@ -212,6 +212,25 @@ def conv3d(features: int, kernel: int | Tuple[int, int, int], stride=1,
                    kernel_init=kaiming_normal_fan_out, name=name, dtype=dtype)
 
 
+def space_to_batch_3d(x, d: int):
+    """(B, D, H, W, C) → (B·d³, D/d, H/d, W/d, C): the d³ interleaved
+    sub-grids of a dilation-d conv, folded into the batch dim (batch-major,
+    so a data-sharded batch stays shardable).  Requires d | D,H,W."""
+    B, D, H, W, C = x.shape
+    xs = x.reshape(B, D // d, d, H // d, d, W // d, d, C)
+    xs = xs.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return xs.reshape(B * d * d * d, D // d, H // d, W // d, C)
+
+
+def batch_to_space_3d(x, d: int):
+    """Inverse of :func:`space_to_batch_3d`."""
+    Bd, Dd, Hd, Wd, C = x.shape
+    B = Bd // (d * d * d)
+    xs = x.reshape(B, d, d, d, Dd, Hd, Wd, C)
+    xs = xs.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return xs.reshape(B, Dd * d, Hd * d, Wd * d, C)
+
+
 class DilatedConv3d(nn.Module):
     """Stride-1 dilated 3-D conv via space-to-batch.
 
@@ -250,19 +269,13 @@ class DilatedConv3d(nn.Module):
         if any(pads):
             x = jnp.pad(x, [(0, 0), (0, pads[0]), (0, pads[1]),
                             (0, pads[2]), (0, 0)])
-        Dp, Hp, Wp = x.shape[1:4]
-        xs = x.reshape(B, Dp // d, d, Hp // d, d, Wp // d, d, C)
-        xs = xs.transpose(0, 2, 4, 6, 1, 3, 5, 7)
-        xs = xs.reshape(B * d * d * d, Dp // d, Hp // d, Wp // d, C)
+        xs = space_to_batch_3d(x, d)
         out = conv3d_apply(
             xs, kernel, (1, 1, 1),
             (((kd - 1) // 2, (kd - 1) // 2),
              ((kh - 1) // 2, (kh - 1) // 2),
              ((kw - 1) // 2, (kw - 1) // 2)))
-        out = out.reshape(B, d, d, d, Dp // d, Hp // d, Wp // d,
-                          self.features)
-        out = out.transpose(0, 4, 1, 5, 2, 6, 3, 7)
-        out = out.reshape(B, Dp, Hp, Wp, self.features)
+        out = batch_to_space_3d(out, d)
         if any(pads):
             out = out[:, :D, :H, :W, :]
         if bias is not None:

@@ -67,13 +67,31 @@ class _Trunk(nn.Module):
         exp = self.block.expansion
         block_cls = (nn.remat(self.block, static_argnums=(2,))
                      if self.remat else self.block)
+        # Dilated layers run ENTIRELY in the space-to-batch domain when the
+        # spatial dims divide the dilation: one pack/unpack for the whole
+        # layer instead of per conv (DilatedConv3d), eliminating dozens of
+        # relayouts of the 33-66 MB layer3/4 activations.  Exact because
+        # every per-block op is sub-grid-local: stride-1 convs couple only
+        # same-residue voxels, BN statistics reduce over the same global
+        # voxel set (batch-folded), ReLU/residual/shortcut-pad/1x1-convs
+        # are pointwise.  Non-divisible shapes keep the per-conv lowering
+        # (whole-layer zero-padding would leak non-zero pad values between
+        # stacked convs).
+        from .blocks import batch_to_space_3d, space_to_batch_3d
+        packed = (dilation > 1 and stride == 1
+                  and all(s % dilation == 0 for s in x.shape[1:4]))
+        eff_dil = 1 if packed else dilation
+        if packed:
+            x = space_to_batch_3d(x, dilation)
         need_ds = stride != 1 or x.shape[-1] != planes * exp
-        x = block_cls(planes, stride, dilation, use_downsample=need_ds,
+        x = block_cls(planes, stride, eff_dil, use_downsample=need_ds,
                       dtype=self.dtype, shortcut_type=self.shortcut_type,
                       name=f"{name}_0")(x, train)
         for i in range(1, blocks):
-            x = block_cls(planes, 1, dilation, use_downsample=False,
+            x = block_cls(planes, 1, eff_dil, use_downsample=False,
                           dtype=self.dtype, name=f"{name}_{i}")(x, train)
+        if packed:
+            x = batch_to_space_3d(x, dilation)
         return x
 
 
