@@ -25,10 +25,10 @@ to roughly 2 vol/s under the deployment contract (2 CPUs,
 ``Dockerfile:88-93``).  The BASELINE.json north star (≥5x A100 e2e on a
 v5e-8) then corresponds to vs_baseline ≥ 1.25 per chip.
 
-Transfer scheduling: the dev-tunnel relay penalises device_put interleaved
-with dispatches (~2 s/iter regardless of bytes, DEVNOTES.md); the default
-schedule stages each trial's batches before dispatching (double-buffer
-depth measured best by ``benchmarks/exp_link.py``).
+Transfer scheduling: the dev-tunnel relay's preferred host→device schedule
+VARIES over time (measured both ways across sessions —
+``benchmarks/exp_link.py``); the default 'auto' times both the interleaved
+and the stage-then-dispatch schedule and reports the best.
 """
 import argparse
 import json
@@ -108,20 +108,24 @@ def bench_inference(jax, jnp, schedule="puts_first"):
     out = pipeline(variables, *[jax.device_put(a) for a in host_batches[0]])
     _force_fetch(out)
 
+    schedules = (["interleaved", "puts_first"] if schedule == "auto"
+                 else [schedule])
     best_e2e = 0.0
-    for _ in range(TRIALS):
-        t0 = time.time()
-        if schedule == "interleaved":
-            for it in range(ITERS):
-                out = pipeline(variables, *[jax.device_put(a)
-                                            for a in host_batches[it % 2]])
-        else:  # puts_first: stage the trial's transfers, then dispatch
-            staged = [[jax.device_put(a) for a in host_batches[it % 2]]
-                      for it in range(ITERS)]
-            for dev in staged:
-                out = pipeline(variables, *dev)
-        _force_fetch(out)
-        best_e2e = max(best_e2e, ITERS * BATCH / (time.time() - t0))
+    for sched in schedules:
+        for _ in range(TRIALS):
+            t0 = time.time()
+            if sched == "interleaved":
+                for it in range(ITERS):
+                    out = pipeline(variables,
+                                   *[jax.device_put(a)
+                                     for a in host_batches[it % 2]])
+            else:  # puts_first: stage the trial's transfers, then dispatch
+                staged = [[jax.device_put(a) for a in host_batches[it % 2]]
+                          for it in range(ITERS)]
+                for dev in staged:
+                    out = pipeline(variables, *dev)
+            _force_fetch(out)
+            best_e2e = max(best_e2e, ITERS * BATCH / (time.time() - t0))
 
     dev = [jax.device_put(a) for a in host_batches[0]]
     jax.block_until_ready(dev)
@@ -136,15 +140,18 @@ def bench_inference(jax, jnp, schedule="puts_first"):
 
 
 def bench_train(jax, jnp):
-    """bf16 remat+donated dRAM train step; falls back B=4 → B=2 on OOM."""
+    """bf16 remat+donated dRAM train step.  Best measured config first:
+    B=4 with the W-pair packed decoder (1043 ms/step on v5e vs 1149
+    unpacked — packed activations carry no bf16 lane padding), falling
+    back on OOM."""
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.train import (
         TrainState, make_optimizer, make_reg_train_step)
 
-    for batch in (4, 2):
+    for batch, packed in ((4, True), (4, False), (2, False)):
         try:
             model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
-                                      remat=True)
+                                      remat=True, packed_decoder=packed)
             x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
             v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
                 jax.random.PRNGKey(0))
@@ -227,8 +234,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-processor", action="store_true")
-    p.add_argument("--schedule", default="puts_first",
-                   choices=["puts_first", "interleaved"])
+    # the dev-link's preferred transfer schedule varies over time
+    # (benchmarks/exp_link.py); 'auto' measures both and keeps the best
+    p.add_argument("--schedule", default="auto",
+                   choices=["auto", "puts_first", "interleaved"])
     # 'direct' measured fastest IN-MODEL (XLA's fused conv schedules beat
     # both the isolated-conv alternatives and the Pallas kernel; see
     # DEVNOTES.md round-2 findings)

@@ -104,6 +104,30 @@ def main():
         _bench(f"{tag}_c2d_sum", conv3d_as_2d_sum, (x, k), flops)
         _bench(f"{tag}_c2d_cat", conv3d_as_2d_cat, (x, k), flops)
 
+    if "int8" in cases:
+        # int8 conv throughput (v5e int8 MXU peak is 2x bf16) — feasibility
+        # probe for a quantized inference mode
+        def c3d_i8(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.int32)
+
+        for tag, (B, D, H, W, Cin, Cout) in {
+                "i8_trunk256": (32, 8, 14, 18, 256, 256),
+                "i8_trunk512": (256, 4, 7, 9, 512, 512),
+                "i8_dec128": (4, 64, 112, 144, 128, 64),
+        }.items():
+            r8 = np.random.RandomState(1)
+            x = jnp.asarray(r8.randint(-127, 127, (B, D, H, W, Cin)),
+                            jnp.int8)
+            k = jnp.asarray(r8.randint(-127, 127, (3, 3, 3, Cin, Cout)),
+                            jnp.int8)
+            flops = 2 * B * D * H * W * 27 * Cin * Cout
+            _bench(f"{tag}", c3d_i8, (x, k), flops)
+            xb = x.astype(jnp.bfloat16)
+            kb = k.astype(jnp.bfloat16)
+            _bench(f"{tag}_bf16ref", conv3d_direct, (xb, kb), flops)
     if "pallas" in cases:
         # Pallas im2col conv vs direct, decoder shapes
         from bodyct_dram_emph_subtype_tpu.ops.pallas_conv import pallas_conv3d

@@ -88,6 +88,9 @@ class TrainerConfig:
     debug_nans: bool = False             # opt-in NaN checking
     input_pipeline: str = "host"         # "host" or "device" (fused preprocess)
     pad_shape: Optional[Tuple[int, int, int]] = None  # device-pipeline buffer
+    packed_decoder: bool = False         # W-pair packed decoder (models/packed.py):
+    # +10% train step speed and less HBM (no bf16 lane padding); numerics
+    # equal up to float reassociation
 
     @property
     def exp_name(self):
@@ -116,7 +119,8 @@ class SubtypeTrainer:
         # remat: recompute block activations in backward — the v5e HBM
         # budget needs it for batch >= 2 at the deployment input size
         self.model = get_model_by_name(config.model_arch, dtype=dtype,
-                                       remat=True)
+                                       remat=True,
+                                       packed_decoder=config.packed_decoder)
         self.mode = "reg" if config.is_regression else "cls"
         self.tx = make_optimizer()
         n_data = self.mesh.shape["data"]

@@ -1,0 +1,132 @@
+"""W-pair packed decoder (models/packed.py): exactness oracles.
+
+The packed modules must be bit-comparable (up to float reassociation) with
+their unpacked twins on the SAME parameters: conv outputs, BatchNorm
+normalization AND running-statistic updates, and the full decoder block.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bodyct_dram_emph_subtype_tpu.models.packed import (
+    PackedConv3,
+    build_packed_kernel_k1,
+    build_packed_kernel_k3,
+    pack_w,
+    unpack_w,
+)
+
+
+def _conv3d(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def test_pack_unpack_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 3, 4, 6, 5).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unpack_w(pack_w(x))),
+                                  np.asarray(x))
+    # packing is a pure reshape of the flat buffer
+    np.testing.assert_array_equal(
+        np.asarray(pack_w(x)).ravel(), np.asarray(x).ravel())
+
+
+def test_packed_kernel_k3_equals_logical_conv(rng):
+    x = jnp.asarray(rng.randn(2, 5, 6, 8, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 3, 7).astype(np.float32))
+    want = _conv3d(x, k)
+    got = unpack_w(_conv3d(pack_w(x), build_packed_kernel_k3(k)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_kernel_k1_equals_logical_conv(rng):
+    def conv1(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), [(0, 0)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    x = jnp.asarray(rng.randn(2, 4, 5, 6, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 1, 4, 9).astype(np.float32))
+    want = conv1(x, k)
+    got = unpack_w(conv1(pack_w(x), build_packed_kernel_k1(k)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_module_param_tree(rng):
+    """PackedConv3 declares nn.Conv-compatible params (logical shapes)."""
+    xp = pack_w(jnp.asarray(rng.randn(1, 4, 6, 8, 5).astype(np.float32)))
+    mod = PackedConv3(11)
+    v = mod.init(jax.random.PRNGKey(0), xp)
+    assert v["params"]["kernel"].shape == (3, 3, 3, 5, 11)
+    assert v["params"]["bias"].shape == (11,)
+
+
+def test_packed_bn_matches_flax_batchnorm(rng):
+    """Packed-domain BN: normalization and running-stat update equal flax
+    ``nn.BatchNorm`` on the unpacked tensor (combined-parity moments)."""
+    from bodyct_dram_emph_subtype_tpu.models.packed import _PackedBN
+
+    x = jnp.asarray((3 + 2 * rng.randn(2, 4, 6, 8, 5)).astype(np.float32))
+
+    ref_bn = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                          epsilon=1e-5)
+    rv = ref_bn.init(jax.random.PRNGKey(0), x)
+    want, want_mut = ref_bn.apply(rv, x, mutable=["batch_stats"])
+
+    packed_bn = _PackedBN()
+    pv = packed_bn.init(jax.random.PRNGKey(0), pack_w(x), train=True)
+    got_p, got_mut = packed_bn.apply(pv, pack_w(x), train=True,
+                                     mutable=["batch_stats"])
+    got = unpack_w(got_p)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_mut["batch_stats"]["mean"]),
+        np.asarray(want_mut["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_mut["batch_stats"]["var"]),
+        np.asarray(want_mut["batch_stats"]["var"]), rtol=1e-4, atol=1e-5)
+
+    # eval mode uses the running stats identically
+    ev_ref = ref_bn.bind({"params": rv["params"],
+                          "batch_stats": want_mut["batch_stats"]})
+    want_eval = nn.BatchNorm(use_running_average=True).apply(
+        {"params": rv["params"],
+         "batch_stats": want_mut["batch_stats"]}, x)
+    got_eval = unpack_w(packed_bn.apply(
+        {"params": pv["params"],
+         "batch_stats": got_mut["batch_stats"]}, pack_w(x), train=False))
+    np.testing.assert_allclose(np.asarray(got_eval), np.asarray(want_eval),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_model_forward_and_train_match_unpacked(rng):
+    """Full model: packed_decoder=True on the SAME params matches the
+    unpacked model, in eval AND train mode (batch-stats updates too)."""
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+
+    x = jnp.asarray(rng.randn(2, 16, 32, 32, 1).astype(np.float32))
+    lungs = jnp.ones_like(x)
+    m0 = ResNetSegReg(layers=(1, 1, 1, 1))
+    m1 = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    v = m0.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    assert (jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x, lungs, train=False))
+        == jax.tree_util.tree_structure(v))
+
+    d0, r0 = m0.apply(v, x, lungs, train=False)
+    d1, r1 = m1.apply(v, x, lungs, train=False)
+    np.testing.assert_allclose(np.asarray(d1[0]), np.asarray(d0[0]),
+                               rtol=1e-4, atol=1e-5)
+
+    (_, mut0) = m0.apply(v, x, lungs, train=True, mutable=["batch_stats"])
+    (_, mut1) = m1.apply(v, x, lungs, train=True, mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

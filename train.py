@@ -51,6 +51,10 @@ def run_training_job():
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the first epoch")
     parser.add_argument("--debug_nans", action="store_true")
+    parser.add_argument("--packed_decoder", action="store_true",
+                        help="W-pair packed decoder convs: +10%% step speed "
+                             "and less HBM on TPU (numerics equal up to "
+                             "float reassociation)")
     parser.add_argument("--local_rank", default=0, type=int,
                         help="this argument is not used and should be ignored")
     args = parser.parse_args()
@@ -71,7 +75,7 @@ def run_training_job():
         model_path=args.model_path, nchips=args.nchips, seed=args.seed,
         compute_dtype=args.compute_dtype, profile=args.profile,
         debug_nans=args.debug_nans, input_pipeline=args.input_pipeline,
-        pad_shape=args.pad_shape)
+        pad_shape=args.pad_shape, packed_decoder=args.packed_decoder)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
