@@ -57,6 +57,14 @@ def resnet50(**kw):
     return ResNet(Bottleneck, (3, 4, 6, 3), **kw)
 
 
+def resnettinysegcls(**kw):
+    return ResNetSegCls(BasicBlock, (1, 1, 1, 1), **kw)
+
+
+def resnettinysegreg(**kw):
+    return ResNetSegReg(BasicBlock, (1, 1, 1, 1), **kw)
+
+
 _FACTORIES = {
     "resnet18segcls": resnet18segcls,
     "resnet34segcls": resnet34segcls,
@@ -66,6 +74,8 @@ _FACTORIES = {
     "resnet50segreg": resnet50segreg,
     "resnet34": resnet34,
     "resnet50": resnet50,
+    "resnettinysegcls": resnettinysegcls,
+    "resnettinysegreg": resnettinysegreg,
 }
 
 _ARCH_TO_TARGET = {
@@ -75,6 +85,11 @@ _ARCH_TO_TARGET = {
     "med3ddram": ("resnet34segreg", {}),
     "med3ddram18": ("resnet18segreg", {}),
     "med3ddram50": ("resnet50segreg", {}),
+    # beyond-reference: 1-block-per-layer variants — every structural
+    # element of the full archs at a fraction of the compile/step cost
+    # (tests, smoke runs, CI)
+    "med3dtiny": ("resnettinysegcls", {"n_classes": (6, 3)}),
+    "med3ddramtiny": ("resnettinysegreg", {}),
 }
 
 

@@ -34,6 +34,14 @@ def run_testing_job():
                         help="torch .ckpt/.pth or converted .npz weights")
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--host_preprocess", action="store_true",
+                        help="preprocess on the host CPU instead of fused "
+                             "on-device (strict host-parity mode)")
+    parser.add_argument("--pad_shape", default=(160, 288, 384),
+                        type=parse_size,
+                        help="static raw-volume buffer for the device "
+                             "preprocess path; larger crops fall back to "
+                             "host preprocessing")
     parser.add_argument("--local_rank", default=0, type=int,
                         help="this argument is not used and should be ignored")
     args = parser.parse_args()
@@ -46,7 +54,9 @@ def run_testing_job():
         output_path=args.output_path, model_arch=args.model_arch,
         ckp_path=args.ckp, target_size=tuple(args.target_size),
         batch_size=args.batch_size, workers=args.workers,
-        nchips=args.nchips, compute_dtype=args.compute_dtype)
+        nchips=args.nchips, compute_dtype=args.compute_dtype,
+        device_preprocess=not args.host_preprocess,
+        pad_shape=tuple(args.pad_shape))
     print("results:", results)
 
 

@@ -42,7 +42,7 @@ def test_torch_ckpt_to_npz_roundtrip(tmp_path):
                     "--src", str(ckpt), "--to_npz", str(npz)],
                    check=True, capture_output=True)
 
-    model = get_model_by_name("med3ddram18")
+    model = get_model_by_name("med3ddramtiny")
     x = jnp.zeros((1, 16, 32, 32, 1), jnp.float32)
     variables = dict(model.init(jax.random.PRNGKey(0), x, x, train=False))
     from_ckpt = greedy_restore_variables(dict(variables), str(ckpt))
@@ -57,7 +57,7 @@ def test_processor_loads_orbax_dir(tmp_path):
     from bodyct_dram_emph_subtype_tpu.inference import run_inference
     from tests.test_processor import _write_case
 
-    model = get_model_by_name("med3ddram18")
+    model = get_model_by_name("med3ddramtiny")
     x = jnp.zeros((1, 16, 32, 32, 1), jnp.float32)
     variables = dict(model.init(jax.random.PRNGKey(3), x, x, train=False))
     state = TrainState.create(variables, make_optimizer())
@@ -72,7 +72,7 @@ def test_processor_loads_orbax_dir(tmp_path):
     scan_dir.mkdir(); lobe_dir.mkdir(); out_dir.mkdir()
     _write_case(scan_dir, lobe_dir, "c1", shape=(40, 56, 72))
     results = run_inference(str(scan_dir), str(lobe_dir), str(out_dir),
-                            model_arch="med3ddram18",
+                            model_arch="med3ddramtiny",
                             ckp_path=str(ckpt_dir),
                             target_size=(32, 48, 64), batch_size=1,
                             workers=1, nchips=1)
@@ -81,7 +81,7 @@ def test_processor_loads_orbax_dir(tmp_path):
 
 def test_restore_best_picks_lowest_loss(tmp_path):
     from bodyct_dram_emph_subtype_tpu.train import SubtypeTrainer, TrainerConfig
-    cfg = TrainerConfig(model_arch="med3ddram18", model_path=str(tmp_path),
+    cfg = TrainerConfig(model_arch="med3ddramtiny", model_path=str(tmp_path),
                         target_size=(16, 24, 32), nchips=1)
     trainer = SubtypeTrainer(cfg)
     trainer.init_state()

@@ -34,7 +34,7 @@ def _run():
     from tests.test_learning import _synthetic_batch
 
     rng = np.random.RandomState(42)
-    model = get_model_by_name("med3ddram18")
+    model = get_model_by_name("med3ddramtiny")
     tx = make_optimizer()
     mesh = get_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
     step = make_reg_train_step(model, tx, num_data_shards=1, augment=True)

@@ -52,7 +52,7 @@ def _synthetic_batch(rng, b=6, shape=(16, 24, 32)):
 
 @pytest.mark.slow
 def test_dram_objective_learns(rng):
-    model = get_model_by_name("med3ddram18")
+    model = get_model_by_name("med3ddramtiny")
     tx = make_optimizer()
     mesh = get_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
     step = make_reg_train_step(model, tx, num_data_shards=1, augment=False)

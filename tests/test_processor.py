@@ -40,7 +40,7 @@ def test_processor_end_to_end(io_dirs):
     ct, lobe = _write_case(scan_dir, lobe_dir, "case1")
     results = run_inference(
         str(scan_dir), str(lobe_dir), str(out_dir),
-        model_arch="med3ddram18", ckp_path=None,
+        model_arch="med3ddramtiny", ckp_path=None,
         target_size=(32, 48, 64), batch_size=1, workers=1, nchips=1)
 
     # results schema (processor.py:130-142)
@@ -84,10 +84,54 @@ def test_processor_multiple_scans_batched(io_dirs):
     _write_case(scan_dir, lobe_dir, "caseB", shape=(48, 64, 80), seed=2)
     results = run_inference(
         str(scan_dir), str(lobe_dir), str(out_dir),
-        model_arch="med3ddram18", ckp_path=None,
+        model_arch="med3ddramtiny", ckp_path=None,
         target_size=(32, 48, 64), batch_size=2, workers=2, nchips=1)
     assert {r["entity"] for r in results} == {"caseA", "caseB"}
     for uid, shape in (("caseA", (40, 56, 72)), ("caseB", (48, 64, 80))):
         heat = read_mha(out_dir / "images"
                         / "centrilobular-emphysema-heatmap" / f"{uid}.mha")
         assert heat.array.shape == shape
+
+
+def test_device_path_matches_host_path(io_dirs, tmp_path):
+    """The fused device-preprocess deployment path must reproduce the host
+    path's outputs: same scores, near-identical percentages, and matching
+    uint8 heatmaps."""
+    scan_dir, lobe_dir, out_dir = io_dirs
+    _write_case(scan_dir, lobe_dir, "case1", shape=(48, 64, 80), seed=3)
+    out_host = tmp_path / "out_host"
+    out_host.mkdir()
+    kwargs = dict(model_arch="med3ddramtiny", ckp_path=None,
+                  target_size=(32, 48, 64), batch_size=1, workers=1,
+                  nchips=1)
+    res_dev = run_inference(str(scan_dir), str(lobe_dir), str(out_dir),
+                            device_preprocess=True, **kwargs)
+    res_host = run_inference(str(scan_dir), str(lobe_dir), str(out_host),
+                             device_preprocess=False, **kwargs)
+    md, mh = res_dev[0]["metrics"], res_host[0]["metrics"]
+    assert md["cle_severity_score"] == mh["cle_severity_score"]
+    assert md["pse_severity_score"] == mh["pse_severity_score"]
+    np.testing.assert_allclose(
+        float(md["cle_lesion_percentage_per_lung"]),
+        float(mh["cle_lesion_percentage_per_lung"]), atol=2e-3)
+    hd = read_mha(out_dir / "images" / "centrilobular-emphysema-heatmap"
+                  / "case1.mha").array.astype(np.int16)
+    hh = read_mha(out_host / "images" / "centrilobular-emphysema-heatmap"
+                  / "case1.mha").array.astype(np.int16)
+    # uint8 heatmaps may differ by a count on interpolation ties only
+    assert np.abs(hd - hh).max() <= 1
+    assert (hd != hh).mean() < 0.01
+
+
+def test_device_path_pad_fallback(io_dirs):
+    """Scans whose crop exceeds pad_shape fall back to host preprocessing
+    and still produce the full output contract."""
+    scan_dir, lobe_dir, out_dir = io_dirs
+    _write_case(scan_dir, lobe_dir, "caseF", shape=(48, 64, 80), seed=4)
+    results = run_inference(
+        str(scan_dir), str(lobe_dir), str(out_dir),
+        model_arch="med3ddramtiny", ckp_path=None, target_size=(32, 48, 64),
+        batch_size=1, workers=1, nchips=1,
+        device_preprocess=True, pad_shape=(16, 16, 16))  # too small
+    assert len(results) == 1
+    assert (out_dir / "results.json").exists()

@@ -17,7 +17,7 @@ def test_single_scan_fills_multi_chip_batch(tmp_path):
     _write_case(scan_dir, lobe_dir, "only", shape=(40, 56, 72))
     # global batch = 2 chips x batch 2 = 4 > 1 scan
     results = run_inference(str(scan_dir), str(lobe_dir), str(out_dir),
-                            model_arch="med3ddram18", ckp_path=None,
+                            model_arch="med3ddramtiny", ckp_path=None,
                             target_size=(32, 48, 64), batch_size=2,
                             workers=1, nchips=2)
     assert len(results) == 1 and results[0]["entity"] == "only"
@@ -26,7 +26,7 @@ def test_single_scan_fills_multi_chip_batch(tmp_path):
 def test_eval_set_smaller_than_global_batch(tmp_path):
     make_training_archive(tmp_path, n=3)
     csv = str(tmp_path / "merged.csv")
-    cfg = TrainerConfig(model_arch="med3ddram18", batch_size=2, nchips=4,
+    cfg = TrainerConfig(model_arch="med3ddramtiny", batch_size=2, nchips=4,
                         target_size=(16, 24, 32), workers=1,
                         data_path=str(tmp_path), train_csv=csv,
                         valid_csv=csv, test_csv=csv,

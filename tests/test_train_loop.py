@@ -41,7 +41,7 @@ def test_epoch_lr_schedule():
 
 @pytest.mark.slow
 def test_reg_training_runs_and_checkpoints(archive, tmp_path):
-    cfg = _config(archive, tmp_path, "med3ddram18")
+    cfg = _config(archive, tmp_path, "med3ddramtiny")
     trainer = SubtypeTrainer(cfg)
     trainer.init_state()
     p0 = jax.device_get(trainer.state.params)
@@ -65,14 +65,14 @@ def test_reg_training_runs_and_checkpoints(archive, tmp_path):
 
 
 def test_reg_training_resume(archive, tmp_path):
-    cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1)
+    cfg = _config(archive, tmp_path, "med3ddramtiny", max_epochs=1)
     trainer = SubtypeTrainer(cfg)
     trainer.init_state()
     trainer.setup_checkpointing()
     assert not trainer.try_resume()   # nothing yet
     trainer.fit()
 
-    cfg2 = _config(archive, tmp_path, "med3ddram18", max_epochs=2)
+    cfg2 = _config(archive, tmp_path, "med3ddramtiny", max_epochs=2)
     trainer2 = SubtypeTrainer(cfg2)
     trainer2.init_state()
     trainer2.setup_checkpointing()
@@ -85,7 +85,7 @@ def test_reg_training_resume(archive, tmp_path):
 
 @pytest.mark.slow
 def test_cls_training_adaptive_reweighting(archive, tmp_path):
-    cfg = _config(archive, tmp_path, "med3d18")
+    cfg = _config(archive, tmp_path, "med3dtiny")
     trainer = SubtypeTrainer(cfg)
     trainer.init_state()
     w_before = np.asarray(trainer.cle_class_weights).copy()
@@ -100,7 +100,7 @@ def test_cls_training_adaptive_reweighting(archive, tmp_path):
 def test_device_input_pipeline_trains(archive, tmp_path):
     """input_pipeline='device': loader ships raw padded int16; window/
     standardize/resize/LAA all run fused inside the train step."""
-    cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1,
+    cfg = _config(archive, tmp_path, "med3ddramtiny", max_epochs=1,
                   input_pipeline="device", pad_shape=(16, 20, 24))
     trainer = SubtypeTrainer(cfg)
     trainer.init_state()
@@ -111,7 +111,7 @@ def test_device_input_pipeline_trains(archive, tmp_path):
 
 
 def test_evaluate_produces_metrics(archive, tmp_path):
-    cfg = _config(archive, tmp_path, "med3ddram18", max_epochs=1)
+    cfg = _config(archive, tmp_path, "med3ddramtiny", max_epochs=1)
     trainer = SubtypeTrainer(cfg)
     trainer.init_state()
     metrics = trainer.evaluate("test", epoch=0)
