@@ -55,8 +55,7 @@ def main():
 
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
-    from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear
-
+    
     rng = np.random.RandomState(0)
 
     if "fwd" in which:

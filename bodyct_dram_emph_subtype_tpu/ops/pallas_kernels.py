@@ -15,7 +15,6 @@ accumulation pattern.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -25,7 +25,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .resize import depth_linspace_indices, linear_gather_1d, nearest_gather_1d
+from .resize import depth_linspace_indices, nearest_gather_1d
 
 WINDOW = (-1150.0, -300.0)
 

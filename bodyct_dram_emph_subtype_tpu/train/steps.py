@@ -36,7 +36,7 @@ from ..losses import (
     segmentation_losses,
     weighted_cross_entropy,
 )
-from ..ops.resize import resize_linear, resize_linear_matmul, resize_nearest
+from ..ops.resize import resize_linear_matmul, resize_nearest
 from ..transforms.batch_augment import _augment_one
 from .state import TrainState, apply_updates, make_optimizer
 

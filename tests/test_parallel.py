@@ -10,7 +10,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
 from bodyct_dram_emph_subtype_tpu.parallel.mesh import (
     MeshSpec,
     get_mesh,
