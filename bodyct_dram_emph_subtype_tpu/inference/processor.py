@@ -24,6 +24,7 @@ at the deployment batch of one scan).
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 from pathlib import Path
@@ -34,7 +35,8 @@ import numpy as np
 
 from ..data import DataLoader, SubtypingInference, write_arrays_to_mha
 from ..data.datasets import CLE_RATIO_MAP, PSE_RATIO_MAP, ratio_to_label
-from ..data.host_preprocess import preprocess_sample, resize_linear_np
+from ..data.host_preprocess import (preprocess_sample,
+                                    resize_linear_matmul_np)
 from ..models import get_model_by_name
 from ..parallel.mesh import MeshSpec, get_mesh, shard_batch
 from ..train.checkpoint import greedy_restore_variables
@@ -98,19 +100,34 @@ class _RawPredictView:
                 "original_size": d["original_size"]}
 
 
-def _device_path(jnp, model, state, mesh, dataset, make_loader,
-                 target_size, pad_shape) -> Dict[str, Dict[str, Any]]:
-    """Batched device-preprocess inference: packed raw volumes up, half-res
-    dense maps + bit-packed ess + exact percentages down."""
-    import jax
+@functools.lru_cache(maxsize=4)
+def _cached_init_fn(model):
+    """Jitted ``model.init`` — eager (op-by-op) init is pathologically slow
+    on remote-dispatch links, and a fresh bound method per call would
+    defeat the jit cache."""
+    return jax.jit(functools.partial(model.init, train=False))
 
-    from ..data.host_preprocess import resize_linear_np
-    from ..ops.packing import pack12_host, unpack12_device
+
+@functools.lru_cache(maxsize=4)
+def _cached_predict_step(model, batch_lung_norm: bool = False):
+    """One jitted predict program per (model, mode) for the PROCESS —
+    ``run_inference`` may be called repeatedly (services, benchmarks) and a
+    fresh ``jax.jit`` closure per call would recompile every time."""
+    return make_predict_step(model, batch_lung_norm)
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_predict_packed(model, target_size, pad_shape):
+    """Jitted packed-input predict program, cached per static config (same
+    recompile-avoidance rationale as :func:`_cached_predict_step`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.packing import unpack12_device
     from ..ops.preprocess import fused_preprocess
     from ..ops.resize import resize_linear_matmul
 
     n_vox_pad = int(np.prod(pad_shape))
-    n_vox_t = int(np.prod(target_size))
 
     @jax.jit
     def predict_packed(state, raw_packed, lung_bits, in_sizes):
@@ -143,6 +160,18 @@ def _device_path(jnp, model, state, mesh, dataset, make_loader,
             "pse_pct": jnp.sum(pse_full, axis=(1, 2, 3, 4)) / lung_sums,
         }
 
+    return predict_packed
+
+
+def _device_path(model, state, mesh, dataset, make_loader,
+                 target_size, pad_shape) -> Dict[str, Dict[str, Any]]:
+    """Batched device-preprocess inference: packed raw volumes up, half-res
+    dense maps + bit-packed ess + exact percentages down."""
+    from ..ops.packing import pack12_host
+
+    n_vox_t = int(np.prod(target_size))
+    predict_packed = _cached_predict_packed(model, target_size, pad_shape)
+
     view = _RawPredictView(dataset, pad_shape)
     per_scan: Dict[str, Dict[str, Any]] = {}
     for batch in make_loader(view):  # _PadExceeded propagates to caller
@@ -166,8 +195,8 @@ def _device_path(jnp, model, state, mesh, dataset, make_loader,
                 # same linear upsample the device used for the reduction —
                 # host float64-indexed taps, so the written uint8 heatmaps
                 # match the host-preprocess path
-                up = resize_linear_np(half, target_size, (0, 1, 2),
-                                      align_corners=True) * ess
+                up = resize_linear_matmul_np(half, target_size, (0, 1, 2),
+                                             align_corners=True) * ess
                 rec[f"{name}_dense"] = up
             per_scan[uid] = {
                 **rec,
@@ -216,7 +245,7 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
     model = get_model_by_name(model_arch, dtype=dtype)
     n = nchips or len(jax.devices())
     mesh = get_mesh(MeshSpec(data=n), devices=jax.devices()[:n])
-    predict_step = make_predict_step(model)
+    predict_step = _cached_predict_step(model)
 
     dataset = SubtypingInference(scan_path, lobe_path)
     if len(dataset) == 0:
@@ -225,7 +254,7 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
 
     if state is None:
         x = jnp.zeros((1, *target_size, 1), jnp.float32)
-        variables = dict(model.init(jax.random.PRNGKey(0), x, x, train=False))
+        variables = dict(_cached_init_fn(model)(jax.random.PRNGKey(0), x, x))
         state = TrainState.create(variables, make_optimizer())
         if ckp_path and Path(ckp_path).is_dir():
             # framework-native Orbax checkpoint directory (train → deploy)
@@ -257,7 +286,7 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
     per_scan: Optional[Dict[str, Dict[str, Any]]] = None
     if device_preprocess:
         try:
-            per_scan = _device_path(jnp, model, state, mesh, dataset,
+            per_scan = _device_path(model, state, mesh, dataset,
                                     _make_loader, tuple(target_size),
                                     tuple(pad_shape))
         except _PadExceeded as e:
@@ -297,8 +326,8 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
         full_maps = {}
         for name, dense, pct in (("cle", rec["cle_dense"], rec["cle_pct"]),
                                  ("pse", rec["pse_dense"], rec["pse_pct"])):
-            up = resize_linear_np(dense, recon_size, (0, 1, 2),
-                                  align_corners=True)
+            up = resize_linear_matmul_np(dense, recon_size, (0, 1, 2),
+                                         align_corners=True)
             full = np.zeros(original_size, np.float32)
             full[paste] = up
             full_maps[name] = full

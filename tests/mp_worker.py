@@ -87,14 +87,16 @@ train_step = make_reg_train_step(model, tx, num_data_shards=4)
 step_args = (state, device_batch, jnp.asarray(1e-4),
              jnp.ones(6, jnp.float32) / 6, jnp.ones(3, jnp.float32) / 3,
              jax.random.PRNGKey(1))
-# AOT-compile BEFORE the first collective execution, then barrier: per-
-# process compile times skew by minutes on a cold cache, and Gloo context
-# init inside the execution gives peers only ~30 s to show up — executing
-# unaligned fails rendezvous (observed: GetKeyValue() DEADLINE_EXCEEDED).
+# AOT-compile BEFORE the first collective execution, then align on the
+# COORDINATION-SERVICE barrier (configurable timeout): per-process compile
+# times skew by minutes on a cold cache, and every Gloo collective —
+# including jax's own sync_global_devices — gives peers only ~30 s to
+# reach its rendezvous (observed: GetKeyValue() DEADLINE_EXCEEDED).
 compiled_step = train_step.lower(*step_args).compile()
-from jax.experimental import multihost_utils  # noqa: E402
+from jax._src import distributed as _dist  # noqa: E402
 
-multihost_utils.sync_global_devices("mp_worker_compiled")
+_dist.global_state.client.wait_at_barrier("mp_worker_compiled",
+                                          timeout_in_ms=600_000)
 state, metrics, preds = compiled_step(*step_args)
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
