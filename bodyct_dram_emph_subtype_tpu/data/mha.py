@@ -119,7 +119,9 @@ def write_mha(path: Union[str, Path], array: np.ndarray,
         f"CompressedData = {'True' if compressed else 'False'}",
     ]
     if compressed:
-        payload = zlib.compress(payload)
+        # level 1: ~4x faster than the default on 1-2 core deployment
+        # hosts; MHA only requires a valid zlib stream
+        payload = zlib.compress(payload, level=1)
         lines.append(f"CompressedDataSize = {len(payload)}")
     fmt = lambda vals: " ".join(repr(float(v)) if float(v) != int(v)
                                 else str(int(v)) for v in vals)
