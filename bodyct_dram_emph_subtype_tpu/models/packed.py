@@ -25,6 +25,7 @@ Reference modules being accelerated: ``UpsampleConvBlock5d`` + decoder
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -71,6 +72,67 @@ def build_packed_kernel_k1(k: jax.Array) -> jax.Array:
         kp = kp.at[0, 0, 0, p * ci:(p + 1) * ci,
                    p * co:(p + 1) * co].set(k[0, 0, 0])
     return kp
+
+
+@functools.lru_cache(maxsize=2)
+def _s2d_stem_map() -> "np.ndarray":
+    """(343, 512) 0/1 matrix mapping the logical 7^3 stem kernel onto the
+    space-to-depth (4,4,4,8,·) kernel: logical tap ``k`` at output stride 2
+    reads packed offset ``u = floor((k-3)/2)`` parity ``p = (k-3) mod 2``.
+    """
+    import numpy as np
+    m = np.zeros((343, 4, 4, 4, 8), np.float32)
+    for kd in range(7):
+        ud, pd = (kd - 3) // 2, (kd - 3) % 2
+        for kh in range(7):
+            uh, ph = (kh - 3) // 2, (kh - 3) % 2
+            for kw in range(7):
+                uw, pw = (kw - 3) // 2, (kw - 3) % 2
+                m[(kd * 7 + kh) * 7 + kw, ud + 2, uh + 2, uw + 2,
+                  pd * 4 + ph * 2 + pw] = 1.0
+    return m.reshape(343, 512)
+
+
+class StemConvS2D(nn.Module):
+    """The k=7 stride-2 stem conv via space-to-depth.
+
+    A stride-2 conv on a 1-channel volume leaves the MXU contraction dim at
+    343·1; packing 2^3 input voxels into 8 channels turns it into a
+    stride-1 (4,4,4) conv with contraction 512 on a volume of 1/8 the
+    positions — numerically identical (the mapped kernel reads exactly the
+    same taps; padding (2,1) reproduces the logical pad-3 zeros).  Param
+    layout stays the logical (7,7,7,Cin,features) ``nn.Conv`` shape, so
+    checkpoints and torch import are oblivious.  Falls back to the direct
+    conv for odd spatial dims or Cin > 1.
+    """
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.numpy as jnp
+
+        from .blocks import conv3d_apply
+        cin = x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal_fan_out,
+                            (7, 7, 7, cin, self.features))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        if cin != 1 or any(s % 2 for s in x.shape[1:4]):
+            return conv3d_apply(x, kernel, (2, 2, 2),
+                                ((3, 3), (3, 3), (3, 3)), mode="direct")
+        b, d, h, w, _ = x.shape
+        x8 = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2)
+        x8 = x8.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            b, d // 2, h // 2, w // 2, 8)
+        m = jnp.asarray(_s2d_stem_map(), dtype)
+        kp = jnp.einsum("ks,ko->so", m,
+                        kernel.reshape(343, self.features)).reshape(
+                            4, 4, 4, 8, self.features)
+        return jax.lax.conv_general_dilated(
+            x8, kp, (1, 1, 1), [(2, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 class PackedConv3(nn.Module):

@@ -53,7 +53,8 @@ class _Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = conv3d(64, 7, stride=2, name="conv1", dtype=self.dtype)(x)
+        from .packed import StemConvS2D
+        x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)
         x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)                               # /2
         xp = max_pool_3d_k3s2p1(x)                    # /4
