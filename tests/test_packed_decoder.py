@@ -130,3 +130,25 @@ def test_packed_model_forward_and_train_match_unpacked(rng):
     for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_stem_conv_matches_direct(rng):
+    """Space-to-depth stem conv == direct k7 s2 conv (same params), and the
+    odd-dims fallback is exact."""
+    from bodyct_dram_emph_subtype_tpu.models.packed import StemConvS2D
+
+    def direct(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2, 2), [(3, 3)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    mod = StemConvS2D(6)
+    x = jnp.asarray(rng.randn(2, 16, 20, 24, 1).astype(np.float32))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mod.apply(v, x)),
+                               np.asarray(direct(x, v["params"]["kernel"])),
+                               rtol=1e-4, atol=1e-5)
+    x_odd = jnp.asarray(rng.randn(1, 15, 20, 24, 1).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(mod.apply(v, x_odd)),
+        np.asarray(direct(x_odd, v["params"]["kernel"])))
