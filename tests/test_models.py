@@ -51,9 +51,11 @@ def test_segreg_shapes_and_range():
 
 def test_registry_all_archs_construct():
     for name in ["med3d", "med3d18", "med3d50", "med3ddram", "med3ddram18",
-                 "med3ddram50"]:
+                 "med3ddram50", "med3dtiny", "med3ddramtiny"]:
         model = get_model_by_name(name)
         assert isinstance(model, (ResNetSegCls, ResNetSegReg))
+    for tiny in ("med3dtiny", "med3ddramtiny"):
+        assert tuple(get_model_by_name(tiny).layers) == (1, 1, 1, 1)
     with pytest.raises(KeyError):
         get_model_by_name("nope")
 
