@@ -45,9 +45,11 @@ def resize_linear_np(x: np.ndarray, out_sizes, axes, align_corners: bool
 def resize_linear_matmul_np(x: np.ndarray, out_sizes, axes,
                             align_corners: bool) -> np.ndarray:
     """BLAS-path n-linear resize: per-axis matmul against a dense two-tap
-    interpolation matrix.  Bit-identical to :func:`resize_linear_np` (the
-    matrix holds the same float64-derived taps; the extra matmul terms are
-    exact zeros), ~10x faster on one core for volume-sized arrays."""
+    interpolation matrix.  Equal to :func:`resize_linear_np` up to final-
+    rounding/FMA differences (the matrix holds the same float64-derived
+    taps, but BLAS sgemm may fuse or reorder the two-term accumulation, so
+    rounding ties can shift by one ulp — and by one count after a uint8
+    quantization).  ~10x faster on one core for volume-sized arrays."""
     x = x.astype(np.float32)
     for axis, out_size in zip(axes, out_sizes):
         in_size = x.shape[axis]

@@ -13,9 +13,12 @@ keep working without Hydra.
 """
 from __future__ import annotations
 
+import logging
 import re
 from pathlib import Path
 from typing import Any, Dict, Optional
+
+logger = logging.getLogger(__name__)
 
 from .blocks import BasicBlock, Bottleneck
 from .resnet3d import ResNet, ResNetSegCls, ResNetSegReg
@@ -129,6 +132,11 @@ def get_model_by_name(name: str, conf_dir: Optional[str] = None, **overrides):
             if target in _FACTORIES:
                 cfg.update(overrides)
                 return _FACTORIES[target](**cfg)
+            # a typo'd _target_ must not silently load a different model
+            logger.warning(
+                "config %s has unknown _target_ %r (known factories: %s); "
+                "falling back to the builtin arch table for %r",
+                path, target, sorted(_FACTORIES), name)
     if name in _ARCH_TO_TARGET:
         target, kwargs = _ARCH_TO_TARGET[name]
         kwargs = dict(kwargs)

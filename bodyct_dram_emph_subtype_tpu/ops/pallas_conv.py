@@ -32,13 +32,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_h_tile(h: int, w: int = 0, c: int = 0, max_tile: int = 8) -> int:
+def _pick_h_tile(h: int, w: int = 0, c: int = 0, max_tile: int = 8,
+                 itemsize: int = 2) -> int:
     """Largest divisor of ``h`` (<= max_tile) whose patch matrix still fits
-    the VMEM budget; the A matrix is the dominant buffer at large C."""
+    the VMEM budget; the A matrix is the dominant buffer at large C.
+    ``itemsize`` must match the input dtype so this estimate and the
+    ``supports_pallas_conv3d`` gate use the same budget arithmetic."""
     for t in range(max_tile, 0, -1):
         if h % t:
             continue
-        if c and t * max(w, 1) * 27 * c * 2 > 8 * 1024 * 1024:
+        if c and t * max(w, 1) * 27 * c * itemsize > 8 * 1024 * 1024:
             continue
         return t
     return 1
@@ -77,7 +80,7 @@ def _kernel_body(x_hbm, k_ref, out_ref, planes, a_ref, sem, *,
 def _pallas_conv3d_impl(x: jax.Array, kernel: jax.Array) -> jax.Array:
     B, D, H, W, C = x.shape
     O = kernel.shape[-1]
-    H_TILE = _pick_h_tile(H, W, C)
+    H_TILE = _pick_h_tile(H, W, C, itemsize=x.dtype.itemsize)
     wp = -(-(W + 2) // 8) * 8      # 8-aligned width for the HBM DMA
     cp = -(-C // 128) * 128        # 128-aligned lane dim for the HBM DMA
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, wp - W - 1), (0, cp - C)))
@@ -141,7 +144,7 @@ def supports_pallas_conv3d(shape: Tuple[int, ...],
         return False
     B, D, H, W, C = shape
     O = kernel_shape[-1]
-    H_TILE = _pick_h_tile(H, W, C)
+    H_TILE = _pick_h_tile(H, W, C, itemsize=itemsize)
     pad = lambda v, m: -(-v // m) * m  # noqa: E731
     planes = 3 * (H_TILE + 2) * pad(W + 2, 8) * pad(C, 128) * itemsize
     a_mat = H_TILE * pad(W, 8) * pad(27 * C, 128) * itemsize
