@@ -34,9 +34,18 @@ def run_testing_job():
                         help="torch .ckpt/.pth or converted .npz weights")
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--device_preprocess", action="store_true",
+                        help="opt-in high-throughput mode: windowing/"
+                             "standardize/resize/ess-mask run fused on the "
+                             "TPU (~25x fewer host-link bytes). The default "
+                             "is the strict host torch-parity path — the "
+                             "device path's percentages can differ by up to "
+                             "~2e-3, enough to flip a severity score for a "
+                             "scan sitting exactly on a ratio threshold")
     parser.add_argument("--host_preprocess", action="store_true",
-                        help="preprocess on the host CPU instead of fused "
-                             "on-device (strict host-parity mode)")
+                        help="deprecated: host preprocessing is the default "
+                             "now; this flag forces it off even if "
+                             "--device_preprocess is also given")
     parser.add_argument("--pad_shape", default=(160, 288, 384),
                         type=parse_size,
                         help="static raw-volume buffer for the device "
@@ -55,7 +64,7 @@ def run_testing_job():
         ckp_path=args.ckp, target_size=tuple(args.target_size),
         batch_size=args.batch_size, workers=args.workers,
         nchips=args.nchips, compute_dtype=args.compute_dtype,
-        device_preprocess=not args.host_preprocess,
+        device_preprocess=args.device_preprocess and not args.host_preprocess,
         pad_shape=tuple(args.pad_shape))
     print("results:", results)
 
