@@ -346,7 +346,8 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
                   compute_dtype: str = "float32",
                   device_preprocess: bool = False,
                   pad_shape=(160, 288, 384),
-                  state: Optional[TrainState] = None) -> List[Dict[str, Any]]:
+                  state: Optional[TrainState] = None,
+                  mesh=None) -> List[Dict[str, Any]]:
     """Run the full deployment pipeline; returns the results list.
 
     ``device_preprocess=False`` (default): preprocessing runs on the host
@@ -382,8 +383,12 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     model = get_model_by_name(model_arch, dtype=dtype)
-    n = nchips or len(jax.devices())
-    mesh = get_mesh(MeshSpec(data=n), devices=jax.devices()[:n])
+    if mesh is None or isinstance(mesh, (str, MeshSpec)):
+        from ..utils.cli import parse_mesh
+        spec = parse_mesh(mesh)
+        if spec is None:
+            spec = MeshSpec(data=nchips or len(jax.devices()))
+        mesh = get_mesh(spec, devices=jax.devices()[:spec.size])
     predict_step = _cached_predict_step(model)
 
     dataset = SubtypingInference(scan_path, lobe_path)
@@ -410,6 +415,12 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
         else:
             logger.warning("no checkpoint found at %s — random weights",
                            ckp_path)
+
+    if mesh.shape.get("model", 1) > 1:
+        # tensor parallelism: conv channels sharded over 'model'; XLA
+        # inserts the activation collectives under jit
+        from ..parallel.mesh import shard_params_tp
+        state = shard_params_tp(mesh, state)
 
     def _make_loader(a_view, subset: Optional[List[int]] = None):
         gbs = batch_size * mesh.shape["data"]

@@ -19,11 +19,14 @@ TPU-native replacement (single-controller GSPMD):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,9 +131,33 @@ def shard_batch(mesh: Mesh, batch_tree):
     sharding_1d = NamedSharding(mesh, P("data"))
     multiprocess = jax.process_count() > 1
 
+    def fit(sharding, shape):
+        """Drop mesh axes that don't divide their dim (JAX rejects uneven
+        shardings at device_put/jit boundaries): the leaf is then simply
+        replicated along that axis — correct, just less parallel.  Warns
+        once per (axis, dim) so a silent perf cliff is visible."""
+        spec = list(sharding.spec) + [None] * (len(shape) - len(sharding.spec))
+        changed = False
+        for d, name in enumerate(spec):
+            if name is None:
+                continue
+            extent = mesh.shape[name]
+            if extent > 1 and shape[d] % extent != 0:
+                logger.warning(
+                    "dim %d (size %d) not divisible by mesh axis %r (=%d); "
+                    "replicating that dim instead", d, shape[d], name, extent)
+                spec[d] = None
+                changed = True
+        if not changed:
+            return sharding
+        while spec and spec[-1] is None:
+            spec.pop()
+        return NamedSharding(mesh, P(*spec))
+
     def put(x):
         x = np.asarray(x)
         sharding = sharding_nd if x.ndim >= 4 else sharding_1d
+        sharding = fit(sharding, x.shape)
         if multiprocess:
             # batch axis spans processes; all other axes are process-local
             # (get_mesh enumerates devices data-major, so each data row's

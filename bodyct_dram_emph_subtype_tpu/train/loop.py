@@ -88,6 +88,8 @@ class TrainerConfig:
     debug_nans: bool = False             # opt-in NaN checking
     input_pipeline: str = "host"         # "host" or "device" (fused preprocess)
     pad_shape: Optional[Tuple[int, int, int]] = None  # device-pipeline buffer
+    mesh: Optional[str] = None           # e.g. "data=2,spatial=2,model=2";
+    # None == all requested chips on the data axis (reference DDP parity)
     packed_decoder: bool = False         # W-pair packed decoder (models/packed.py):
     # +10% train step speed and less HBM (no bf16 lane padding); numerics
     # equal up to float reassociation
@@ -112,8 +114,15 @@ class SubtypeTrainer:
         self.config = config
         if mesh is None:
             from ..parallel.mesh import MeshSpec
-            n = config.nchips or len(jax.devices())
-            mesh = get_mesh(MeshSpec(data=n), devices=jax.devices()[:n])
+            from ..utils.cli import parse_mesh
+            spec = parse_mesh(config.mesh)
+            if spec is None:
+                n = config.nchips or len(jax.devices())
+                spec = MeshSpec(data=n)
+            if spec.size > len(jax.devices()):
+                raise ValueError(f"mesh {spec} needs {spec.size} devices, "
+                                 f"only {len(jax.devices())} available")
+            mesh = get_mesh(spec, devices=jax.devices()[:spec.size])
         self.mesh = mesh
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
         # remat: recompute block activations in backward — the v5e HBM
@@ -167,8 +176,18 @@ class SubtypeTrainer:
         lungs = jnp.asarray(example_batch["lung_mask"])[..., None]
         variables = self.model.init(jax.random.PRNGKey(cfg.seed), x, lungs,
                                     train=False)
-        self.state = TrainState.create(dict(variables), self.tx)
+        self.state = self._place_state(TrainState.create(dict(variables),
+                                                         self.tx))
         return self.state
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Tensor-parallel parameter placement when the mesh has a 'model'
+        extent (conv output channels sharded; XLA inserts the activation
+        collectives).  No-op on pure data/spatial meshes."""
+        if self.mesh.shape.get("model", 1) > 1:
+            from ..parallel.mesh import shard_params_tp
+            return shard_params_tp(self.mesh, state)
+        return state
 
     def setup_checkpointing(self):
         self.ckpt = CheckpointManager(self.config.exp_path / "checkpoints")
@@ -181,20 +200,20 @@ class SubtypeTrainer:
         if ckp is not None and Path(ckp).suffix in (".ckpt", ".pth", ".pt",
                                                     ".npz"):
             new_vars = greedy_restore_variables(self.state.variables, ckp)
-            self.state = self.state.replace(
+            self.state = self._place_state(self.state.replace(
                 params=new_vars["params"],
                 batch_stats=new_vars.get("batch_stats",
-                                         self.state.batch_stats))
+                                         self.state.batch_stats)))
             return True
         latest = self.ckpt.latest_epoch()
         if latest is None:
             return False
         state, extras, epoch = self.ckpt.restore(self.state, epoch=None)
         if reload_only_weights:
-            self.state = self.state.replace(params=state.params,
-                                            batch_stats=state.batch_stats)
+            self.state = self._place_state(self.state.replace(
+                params=state.params, batch_stats=state.batch_stats))
         else:
-            self.state = state
+            self.state = self._place_state(state)
             self.epoch = epoch + 1
             if extras.get("cle_class_weights") is not None:
                 self.cle_class_weights = np.asarray(
@@ -245,10 +264,12 @@ class SubtypeTrainer:
                              f"{n_proc} processes")
         return gbs // n_proc
 
-    def _loader(self, phase: str, epoch: int) -> DataLoader:
+    def _loader(self, phase: str, epoch: int,
+                input_pipeline: Optional[str] = None) -> DataLoader:
         cfg = self.config
         ds = self._dataset(phase)
-        if phase == TRAIN_PHASE and cfg.input_pipeline == "device":
+        pipeline = input_pipeline or cfg.input_pipeline
+        if pipeline == "device":
             from ..data.host_preprocess import RawPaddedView
             if cfg.pad_shape is None:
                 raise ValueError("input_pipeline='device' needs pad_shape")
@@ -376,23 +397,43 @@ class SubtypeTrainer:
                 outputs)
 
     # ------------------------------------------------------------------- eval
-    def evaluate(self, phase: str, epoch: Optional[int] = None) -> Dict[str, float]:
+    def evaluate(self, phase: str, epoch: Optional[int] = None,
+                 input_pipeline: Optional[str] = None) -> Dict[str, float]:
+        """Eval epoch.  ``input_pipeline`` defaults to the config's setting,
+        so a device-pipeline training run serves val/test through the same
+        fused on-device preprocess (the reference applies one transform
+        chain to all phases, ``models.py:55-80``); pass ``'host'``/
+        ``'device'`` to override per call."""
         cfg = self.config
         epoch = epoch if epoch is not None else self.epoch
+        pipeline = input_pipeline or cfg.input_pipeline
+        device_mode = pipeline == "device"
+        eval_step = (self._eval_step_fused() if device_mode
+                     else self._eval_step)
         outputs = []
 
         def put(batch):
-            return shard_batch(self.mesh, {
-                "image": batch["image"].astype(np.float32),
-                "lung_mask": batch["lung_mask"].astype(np.float32),
-                "cls_label": batch["cls_label"].astype(np.int32),
-                "pse_label": batch["pse_label"].astype(np.int32),
-            }), batch
+            if device_mode:
+                payload = {
+                    "image_raw": batch["image_raw"],
+                    "lung_raw": batch["lung_raw"],
+                    "in_sizes": batch["in_sizes"].astype(np.int32),
+                }
+            else:
+                payload = {
+                    "image": batch["image"].astype(np.float32),
+                    "lung_mask": batch["lung_mask"].astype(np.float32),
+                }
+            payload["cls_label"] = batch["cls_label"].astype(np.int32)
+            payload["pse_label"] = batch["pse_label"].astype(np.int32)
+            return shard_batch(self.mesh, payload), batch
 
         from ..data.loader import prefetch_to_device
         for batch_idx, (device_batch, batch) in enumerate(
-                prefetch_to_device(self._loader(phase, epoch), put)):
-            res = self._eval_step(self.state, device_batch)
+                prefetch_to_device(
+                    self._loader(phase, epoch, input_pipeline=pipeline),
+                    put)):
+            res = eval_step(self.state, device_batch)
             out = {k: process_local_data(v) for k, v in res.items()
                    if not k.startswith("dense")}
             out["index"] = np.asarray(batch["index"]).reshape(-1)
@@ -402,8 +443,37 @@ class SubtypeTrainer:
             # draws only rank 0's local batch)
             if (jax.process_count() == 1 and jax.process_index() == 0
                     and batch_idx < cfg.debug_draw_batches):
-                self._draw_predictions(batch, res, phase, epoch)
+                draw_batch = (self._host_view_of_raw_batch(batch)
+                              if device_mode else batch)
+                self._draw_predictions(draw_batch, res, phase, epoch)
         return self._epoch_end(outputs, phase, epoch)
+
+    def _eval_step_fused(self):
+        """Lazily-built eval step with the fused device preprocess (one
+        extra jit program, only compiled when device-pipeline eval runs)."""
+        if not hasattr(self, "_eval_step_fused_cached"):
+            self._eval_step_fused_cached = make_eval_step(
+                self.model, self.mode, fused_input=True,
+                target_size=tuple(self.config.target_size))
+        return self._eval_step_fused_cached
+
+    def _host_view_of_raw_batch(self, batch) -> Dict[str, np.ndarray]:
+        """Host-preprocess a raw padded batch for the heatmap artifacts
+        (drawn batches only — the hot path stays fused on the TPU)."""
+        from ..data.host_preprocess import preprocess_sample
+        images, lungs, ems = [], [], []
+        for i in range(len(batch["in_sizes"])):
+            sl = tuple(slice(0, int(s)) for s in batch["in_sizes"][i])
+            raw = np.asarray(batch["image_raw"][i])[sl]
+            lung = np.asarray(batch["lung_raw"][i])[sl] > 0
+            sample = {"image": raw, "lung_mask": lung,
+                      "em_mask": np.logical_and(raw < -950, lung)}
+            pre = preprocess_sample(sample, tuple(self.config.target_size))
+            images.append(pre["image"])
+            lungs.append(pre["lung_mask"])
+            ems.append(pre["em_mask"])
+        return {"image": np.stack(images), "lung_mask": np.stack(lungs),
+                "em_mask": np.stack(ems), "index": batch["index"]}
 
     # --------------------------------------------------------------- epoch end
     def _epoch_end(self, outputs: List[Dict], phase: str, epoch: int

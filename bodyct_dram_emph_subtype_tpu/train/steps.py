@@ -73,7 +73,8 @@ def _batch_inputs(batch, fused_input, target_size):
                                batch["in_sizes"], target_size=target_size,
                                em_threshold=-950.0)
         return pre["image"], pre["lung_mask"], pre["em_mask"]
-    return batch["image"], batch["lung_mask"], batch["em_mask"]
+    # eval batches carry no em_mask (only the train losses need it)
+    return batch["image"], batch["lung_mask"], batch.get("em_mask")
 
 
 def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
@@ -191,15 +192,23 @@ def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
     return step
 
 
-def make_eval_step(model, mode: str):
+def make_eval_step(model, mode: str, fused_input: bool = False,
+                   target_size=(128, 224, 288)):
     """Eval step (VAL/TEST branch of ``shared_step``): forward + predicted
-    labels (+ dense maps for the heatmap artifacts)."""
+    labels (+ dense maps for the heatmap artifacts).
+
+    ``fused_input=True``: the batch carries raw padded int16 volumes
+    (``image_raw``/``lung_raw``/``in_sizes``) and the window/standardize/
+    resize chain runs fused on the TPU — the same device input pipeline the
+    train phase uses, now serving val/test too (the reference applies one
+    transform chain to all phases, ``models.py:55-80``)."""
     assert mode in ("cls", "reg")
 
     @jax.jit
     def step(state: TrainState, batch):
-        x = _nchw_to_ndhwc(batch["image"])
-        lungs5 = _nchw_to_ndhwc(batch["lung_mask"].astype(jnp.float32))
+        images, lungs, _ = _batch_inputs(batch, fused_input, target_size)
+        x = _nchw_to_ndhwc(images)
+        lungs5 = _nchw_to_ndhwc(lungs.astype(jnp.float32))
         dense, heads = model.apply(state.variables, x, lungs5, train=False)
         if mode == "reg":
             pred_cle = ratio_to_label_batch(heads[0], CLE_RATIO_MAP)

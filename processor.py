@@ -10,7 +10,9 @@ import logging
 import warnings
 from argparse import ArgumentParser
 
-from bodyct_dram_emph_subtype_tpu.utils.cli import parse_size
+from bodyct_dram_emph_subtype_tpu.utils.cli import apply_platform_env, parse_size
+
+apply_platform_env()
 
 warnings.filterwarnings("ignore")
 logging.basicConfig(level=logging.INFO,
@@ -21,6 +23,9 @@ def run_testing_job():
     parser = ArgumentParser()
     parser.add_argument("--ngpus", "--nchips", dest="nchips", default=None,
                         type=int, help="data-parallel width (chips)")
+    parser.add_argument("--mesh", default=None, type=str,
+                        help="mesh layout, e.g. 'data=2,spatial=2,model=2' "
+                             "(overrides --ngpus/--nchips)")
     parser.add_argument("--model_arch", default="med3ddram", type=str)
     parser.add_argument("--workers", default=0, type=int)
     parser.add_argument("--batch_size", default=2, type=int)
@@ -65,7 +70,7 @@ def run_testing_job():
         batch_size=args.batch_size, workers=args.workers,
         nchips=args.nchips, compute_dtype=args.compute_dtype,
         device_preprocess=args.device_preprocess and not args.host_preprocess,
-        pad_shape=tuple(args.pad_shape))
+        pad_shape=tuple(args.pad_shape), mesh=args.mesh)
     print("results:", results)
 
 

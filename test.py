@@ -5,8 +5,10 @@ split, emitting confusion matrices, CSVs, and heatmap tiles."""
 import logging
 from argparse import ArgumentParser
 
-from bodyct_dram_emph_subtype_tpu.utils.cli import parse_size
+from bodyct_dram_emph_subtype_tpu.utils.cli import apply_platform_env, parse_size
 from pathlib import Path
+
+apply_platform_env()
 
 
 def run_testing_job():

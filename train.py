@@ -10,8 +10,10 @@ every-epoch checkpoints, fit then test.
 import logging
 from argparse import ArgumentParser
 
-from bodyct_dram_emph_subtype_tpu.utils.cli import parse_size
+from bodyct_dram_emph_subtype_tpu.utils.cli import apply_platform_env, parse_size
 from pathlib import Path
+
+apply_platform_env()
 
 
 def run_training_job():
@@ -20,6 +22,11 @@ def run_training_job():
     parser.add_argument("--lr", "--learning-rate", default=0.0001, type=float)
     parser.add_argument("--ngpus", "--nchips", dest="nchips", default=None,
                         type=int, help="data-parallel width (chips)")
+    parser.add_argument("--mesh", default=None, type=str,
+                        help="mesh layout, e.g. 'data=2,spatial=2,model=2': "
+                             "shard batch over data, volume H over spatial "
+                             "(halo-exchanged convs), conv channels over "
+                             "model (tensor parallel). Overrides --ngpus")
     parser.add_argument("--momentum", default=0.9, type=float)
     parser.add_argument("--reload_only_weights", default=1, type=int)
     parser.add_argument("--weight_decay", default=1e-5, type=float)
@@ -75,7 +82,8 @@ def run_training_job():
         model_path=args.model_path, nchips=args.nchips, seed=args.seed,
         compute_dtype=args.compute_dtype, profile=args.profile,
         debug_nans=args.debug_nans, input_pipeline=args.input_pipeline,
-        pad_shape=args.pad_shape, packed_decoder=args.packed_decoder)
+        pad_shape=args.pad_shape, packed_decoder=args.packed_decoder,
+        mesh=args.mesh)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
