@@ -54,10 +54,10 @@ _CONV3D_MODE = _os.environ.get("BODYCT_CONV3D_MODE", "direct")
 
 def set_conv3d_mode(mode: str) -> None:
     """Set the global 3-D conv lowering ('direct' | 'd2sum' | 'd2cat' |
-    'pallas').  Takes effect at the next trace (jit programs already
-    compiled keep their lowering)."""
+    'pallas' | 'tapmm').  Takes effect at the next trace (jit programs
+    already compiled keep their lowering)."""
     global _CONV3D_MODE
-    assert mode in ("direct", "d2sum", "d2cat", "pallas"), mode
+    assert mode in ("direct", "d2sum", "d2cat", "pallas", "tapmm"), mode
     _CONV3D_MODE = mode
 
 
@@ -72,6 +72,14 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
     if padding is None:
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
     mode = mode or _CONV3D_MODE
+    if mode == "tapmm":
+        from ..ops.tap_conv import supports_tap_conv3d, tap_conv3d
+        if (strides == (1, 1, 1)
+                and padding == ((1, 1), (1, 1), (1, 1))
+                and supports_tap_conv3d(x.shape, kernel.shape, strides,
+                                        x.dtype.itemsize)):
+            return tap_conv3d(x, kernel)
+        mode = "direct"  # stem k7 / strided / narrow-row shapes
     if mode == "pallas":
         from ..ops.pallas_conv import pallas_conv3d, supports_pallas_conv3d
         if (strides == (1, 1, 1)

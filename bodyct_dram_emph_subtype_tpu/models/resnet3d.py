@@ -37,18 +37,35 @@ from .blocks import (
 Dtype = Any
 
 
+def remat_scopes(remat) -> frozenset:
+    """Normalise the ``remat`` model attribute into a set of scopes.
+
+    ``True``/"all" checkpoints every residual block and decoder stage;
+    ``False``/``None``/"none" nothing; a comma string selects scopes from
+    {layer1..layer4, decoder} — e.g. ``"layer1,layer2,decoder"`` recomputes
+    only the large stem-/half-resolution activations and keeps the
+    FLOP-heavy, small-activation layer3/4 in HBM (selective checkpointing:
+    trade the least recompute for the most memory)."""
+    if remat is True or remat == "all":
+        return frozenset({"layer1", "layer2", "layer3", "layer4", "decoder"})
+    if not remat or remat == "none":
+        return frozenset()
+    return frozenset(s.strip() for s in str(remat).split(",") if s.strip())
+
+
 class _Trunk(nn.Module):
     """Shared encoder trunk; returns (stem, layer1, layer4) activations.
 
-    ``remat=True`` checkpoints every residual block (``jax.checkpoint``
-    through ``nn.remat``) so the backward pass recomputes block activations
-    instead of keeping them in HBM — required to train batch ≥ 2 volumes
-    per v5e chip at the deployment input size.
+    ``remat`` checkpoints residual blocks (``jax.checkpoint`` through
+    ``nn.remat``) so the backward pass recomputes block activations instead
+    of keeping them in HBM — required to train batch ≥ 2 volumes per v5e
+    chip at the deployment input size.  Accepts the selective-scope forms
+    of :func:`remat_scopes`.
     """
     block: Type[nn.Module]
     layers: Sequence[int]
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Any = False
     shortcut_type: str = "A"
 
     @nn.compact
@@ -67,7 +84,7 @@ class _Trunk(nn.Module):
     def _layer(self, x, planes, blocks, stride, dilation, name, train):
         exp = self.block.expansion
         block_cls = (nn.remat(self.block, static_argnums=(2,))
-                     if self.remat else self.block)
+                     if name in remat_scopes(self.remat) else self.block)
         # Dilated layers run ENTIRELY in the space-to-batch domain when the
         # spatial dims divide the dilation: one pack/unpack for the whole
         # layer instead of per conv (DilatedConv3d), eliminating dozens of
@@ -105,16 +122,17 @@ class _Decoder(nn.Module):
     even W at each decoder stage (always true for the /8-divisible model
     input contract)."""
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Any = False
     packed: bool = False
 
     @nn.compact
     def __call__(self, x4, x1, stem, train: bool):
+        do_remat = "decoder" in remat_scopes(self.remat)
         if self.packed:
             from .packed import (PackedConv3, PackedNormWrapper,
                                  PackedUpsampleConvBlock, pack_w, unpack_w)
             up_cls = (nn.remat(PackedUpsampleConvBlock, static_argnums=(3,))
-                      if self.remat else PackedUpsampleConvBlock)
+                      if do_remat else PackedUpsampleConvBlock)
             xup1 = up_cls([64, 64], dtype=self.dtype,
                           name="us1")(x4, x1, train)
             xup2 = up_cls([64, 64], dtype=self.dtype,
@@ -124,7 +142,7 @@ class _Decoder(nn.Module):
             x = PackedNormWrapper(dtype=self.dtype, name="us3_bn")(x, train)
             return unpack_w(nn.relu(x))
         up_cls = (nn.remat(UpsampleConvBlock, static_argnums=(3,))
-                  if self.remat else UpsampleConvBlock)
+                  if do_remat else UpsampleConvBlock)
         xup1 = up_cls([64, 64], dtype=self.dtype,
                       name="us1")(x4, x1, train)
         xup2 = up_cls([64, 64], dtype=self.dtype,
@@ -141,7 +159,7 @@ class ResNetSegCls(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     n_classes: Sequence[int] = (6, 3)
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Any = False
     shortcut_type: str = "A"
     packed_decoder: bool = False
 
@@ -166,7 +184,7 @@ class ResNetSegReg(nn.Module):
     block: Type[nn.Module] = BasicBlock
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Any = False
     shortcut_type: str = "A"
     packed_decoder: bool = False
 
@@ -195,7 +213,7 @@ class ResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     n_classes: int = 6
     dtype: Optional[Dtype] = None
-    remat: bool = False
+    remat: Any = False
     shortcut_type: str = "A"
 
     @nn.compact

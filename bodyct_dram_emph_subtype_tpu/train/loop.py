@@ -90,6 +90,10 @@ class TrainerConfig:
     pad_shape: Optional[Tuple[int, int, int]] = None  # device-pipeline buffer
     mesh: Optional[str] = None           # e.g. "data=2,spatial=2,model=2";
     # None == all requested chips on the data axis (reference DDP parity)
+    remat: str = "all"                   # activation checkpointing scopes:
+    # "all" | "none" | comma list from {layer1..layer4, decoder}; selective
+    # remat keeps the FLOP-heavy small-activation layers in HBM and
+    # recomputes only the big stem-/half-res activations
     packed_decoder: bool = False         # W-pair packed decoder (models/packed.py):
     # +10% train step speed and less HBM (no bf16 lane padding); numerics
     # equal up to float reassociation
@@ -128,7 +132,7 @@ class SubtypeTrainer:
         # remat: recompute block activations in backward — the v5e HBM
         # budget needs it for batch >= 2 at the deployment input size
         self.model = get_model_by_name(config.model_arch, dtype=dtype,
-                                       remat=True,
+                                       remat=config.remat,
                                        packed_decoder=config.packed_decoder)
         self.mode = "reg" if config.is_regression else "cls"
         self.tx = make_optimizer()

@@ -291,3 +291,40 @@ def test_conv3d_lowering_modes_match(rng):
     finally:
         blocks.set_conv3d_mode(
             blocks._os.environ.get("BODYCT_CONV3D_MODE", "direct"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scopes", ["all", "layer1,layer2,decoder", "none"])
+def test_selective_remat_is_numerics_neutral(scopes):
+    """``remat`` scope selection (selective activation checkpointing) must
+    not change the forward values and may perturb gradients only at float-
+    reassociation level — it trades HBM for backward recompute, nothing
+    else."""
+    ref = get_model_by_name("med3ddramtiny", remat=False)
+    mod = get_model_by_name("med3ddramtiny", remat=scopes)
+    x = jnp.asarray(np.random.RandomState(0).randn(*INPUT), jnp.float32)
+    lungs = jnp.ones(INPUT, jnp.float32)
+    v = ref.init(jax.random.PRNGKey(0), x, lungs, train=False)
+
+    def loss(model, v):
+        (dense, regs), _ = model.apply(v, x, lungs, train=True,
+                                       mutable=["batch_stats"])
+        return sum(jnp.sum(m.astype(jnp.float32) ** 2) for m in dense) + \
+            sum(jnp.sum(q ** 2) for q in regs)
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(ref, p))(v)
+    l_mod, g_mod = jax.value_and_grad(lambda p: loss(mod, p))(v)
+    np.testing.assert_allclose(float(l_mod), float(l_ref), rtol=1e-6)
+    # Per-element grads are NOT bit-stable under remat: the recomputed
+    # activations differ from the saved ones at reassociation level, which
+    # flips ReLU masks for near-zero voxels (random-init activations sit
+    # at the boundary).  What must hold is global agreement: same loss,
+    # same gradient direction and magnitude.
+    a = np.concatenate([np.asarray(t).ravel()
+                        for t in jax.tree.leaves(g_ref)])
+    b = np.concatenate([np.asarray(t).ravel()
+                        for t in jax.tree.leaves(g_mod)])
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(np.linalg.norm(b), np.linalg.norm(a),
+                               rtol=5e-3)

@@ -57,3 +57,62 @@ def test_pallas_conv3d_matches_direct(rng):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-2)
+
+
+def test_tap_conv3d_matches_direct(rng):
+    """Tap-matmul conv (interpret mode on CPU) == direct XLA 3-D conv,
+    including the custom-VJP backward and the odd-H boundary tiles."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.ops.tap_conv import (
+        _direct_conv3d, supports_tap_conv3d, tap_conv3d)
+
+    x = jnp.asarray(rng.randn(2, 4, 8, 24, 6).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 6, 16).astype(np.float32))
+    assert supports_tap_conv3d(x.shape, k.shape, (1, 1, 1), 4)
+    ref = _direct_conv3d(x, k)
+    with pltpu.force_tpu_interpret_mode():
+        out = tap_conv3d(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_pl(x, k):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(tap_conv3d(x, k) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    g_ref = jax.grad(lambda x, k: jnp.sum(_direct_conv3d(x, k) ** 2),
+                     argnums=(0, 1))(x, k)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-2)
+
+
+def test_tap_conv3d_weight_streaming(rng):
+    """The output-channel-chunked (weight-streaming) plan matches the
+    unchunked kernel and the direct conv."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.ops.tap_conv import (
+        _direct_conv3d, _tap_conv3d_impl)
+
+    x = jnp.asarray(rng.randn(1, 3, 8, 26, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 8, 32).astype(np.float32))
+    ref = _direct_conv3d(x, k)
+    with pltpu.force_tpu_interpret_mode():
+        out = _tap_conv3d_impl(x, k, plan=(4, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def test_gates():
+        from bodyct_dram_emph_subtype_tpu.ops.tap_conv import (
+            supports_tap_conv3d)
+        # strided / non-3^3 / narrow rows all refuse
+        assert not supports_tap_conv3d((1, 4, 8, 24, 8), (3, 3, 3, 8, 16),
+                                       (2, 2, 2))
+        assert not supports_tap_conv3d((1, 4, 8, 24, 8), (1, 1, 1, 8, 16),
+                                       (1, 1, 1))
+        assert not supports_tap_conv3d((1, 4, 8, 9, 8), (3, 3, 3, 8, 16),
+                                       (1, 1, 1))
+    test_gates()

@@ -58,6 +58,11 @@ def run_training_job():
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the first epoch")
     parser.add_argument("--debug_nans", action="store_true")
+    parser.add_argument("--remat", default="all", type=str,
+                        help="activation-checkpoint scopes: 'all', 'none', "
+                             "or a comma list from layer1..layer4,decoder "
+                             "(selective remat trades HBM for less "
+                             "backward recompute)")
     parser.add_argument("--packed_decoder", action="store_true",
                         help="W-pair packed decoder convs: +10%% step speed "
                              "and less HBM on TPU (numerics equal up to "
@@ -83,7 +88,7 @@ def run_training_job():
         compute_dtype=args.compute_dtype, profile=args.profile,
         debug_nans=args.debug_nans, input_pipeline=args.input_pipeline,
         pad_shape=args.pad_shape, packed_decoder=args.packed_decoder,
-        mesh=args.mesh)
+        mesh=args.mesh, remat=args.remat)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
