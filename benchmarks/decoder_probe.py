@@ -20,8 +20,11 @@ each trial, best-of-trials.  Prints one JSON line per case as it completes.
 """
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 TARGET = (128, 224, 288)
 
 
-def run_config(name, batch, conv_mode, donate, packed=False):
+def run_config(name, batch, conv_mode, donate, packed=False, remat=True):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,7 @@ def run_config(name, batch, conv_mode, donate, packed=False):
         TrainState, make_optimizer, make_reg_train_step)
 
     blocks.set_conv3d_mode(conv_mode)
-    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16, remat=True,
+    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16, remat=remat,
                               packed_decoder=packed)
     x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
     v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
@@ -98,6 +98,21 @@ def main():
                         packed=True),
         "packed8": dict(batch=8, conv_mode="direct", donate=True,
                         packed=True),
+        # selective remat (round-3): keep the FLOP-heavy small-activation
+        # layer3/4 in HBM, recompute only the big stem-/half-res scopes
+        "remat_early4": dict(batch=4, conv_mode="direct", donate=True,
+                             packed=True, remat="layer1,layer2,decoder"),
+        "remat_dec4": dict(batch=4, conv_mode="direct", donate=True,
+                           packed=True, remat="decoder"),
+        "remat_none4": dict(batch=4, conv_mode="direct", donate=True,
+                            packed=True, remat="none"),
+        "remat_early2": dict(batch=2, conv_mode="direct", donate=True,
+                             packed=True, remat="layer1,layer2,decoder"),
+        # packw conv lowering in the train step (forward + remat recompute
+        # both benefit; backward runs the transposed packw conv)
+        "remat_early_packw4": dict(batch=4, conv_mode="packw", donate=True,
+                                   packed=False,
+                                   remat="layer1,layer2,decoder"),
     }
     for name in args.configs.split(","):
         run_config(name, **table[name])

@@ -44,8 +44,13 @@ def main():
     parser.add_argument("--arch", default="med3ddram")
     parser.add_argument("--packed", action="store_true",
                         help="W-pair packed decoder (models/packed.py)")
+    parser.add_argument("--conv_mode", default=None,
+                        help="global conv lowering (e.g. packw)")
     args = parser.parse_args()
     which = set(args.which.split(","))
+    if args.conv_mode:
+        from bodyct_dram_emph_subtype_tpu.models import blocks
+        blocks.set_conv3d_mode(args.conv_mode)
     B = args.batch
 
     import jax
@@ -68,6 +73,8 @@ def main():
         l = jnp.ones((B, *TARGET, 1), jnp.float32)
         fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False)[1])
         tag = "_packed" if args.packed else ""
+        if args.conv_mode:
+            tag += f"_{args.conv_mode}"
         _bench(f"{args.arch}_fwd{tag}", fwd, v, x, l,
                extra={"batch": B, "input": list(TARGET)})
 

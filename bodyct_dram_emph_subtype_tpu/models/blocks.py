@@ -54,11 +54,35 @@ _CONV3D_MODE = _os.environ.get("BODYCT_CONV3D_MODE", "direct")
 
 def set_conv3d_mode(mode: str) -> None:
     """Set the global 3-D conv lowering ('direct' | 'd2sum' | 'd2cat' |
-    'pallas' | 'tapmm').  Takes effect at the next trace (jit programs
-    already compiled keep their lowering)."""
+    'pallas' | 'tapmm' | 'packw').  Takes effect at the next trace (jit
+    programs already compiled keep their lowering)."""
     global _CONV3D_MODE
-    assert mode in ("direct", "d2sum", "d2cat", "pallas", "tapmm"), mode
+    assert mode in ("direct", "d2sum", "d2cat", "pallas", "tapmm",
+                    "packw"), mode
     _CONV3D_MODE = mode
+
+
+def _packw_conv3d(x, kernel):
+    """Stride-1 pad-1 3^3 conv with the OUTPUT W-pairs packed into channels.
+
+    The conv emits both W-parities of an output pair in one position:
+    kernel (3,3,3,Ci,Co) -> (3,3,4,Ci,2Co) where parity-0 columns hold the
+    taps at packed offsets 0..2 and parity-1 at 1..3, the conv strides 2
+    over W, and a free channel-minor reshape unpacks (W/2, 2Co) -> (W, Co).
+    Why: Co < 128 half-fills the MXU lanes (measured ~44-49 TF/s on the
+    decoder's 64-out convs); 2Co columns fill them at 4/3 the FLOPs —
+    62 TF/s net on the us2-conv1 shape (DEVNOTES round-3 table).  Numerics
+    equal the direct lowering up to float reassociation."""
+    B, D, H, W, _ = x.shape
+    co = kernel.shape[-1]
+    z = jnp.zeros(kernel.shape[:2] + (1,) + kernel.shape[3:], kernel.dtype)
+    k0 = jnp.concatenate([kernel, z], axis=2)        # parity 0: taps 0..2
+    k1 = jnp.concatenate([z, kernel], axis=2)        # parity 1: taps 1..3
+    kp = jnp.concatenate([k0, k1], axis=-1)          # (3,3,4,Ci,2Co)
+    out = jax.lax.conv_general_dilated(
+        x, kp, (1, 1, 2), [(1, 1), (1, 1), (1, 2)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return out.reshape(B, D, H, W, co)
 
 
 def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
@@ -72,6 +96,14 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
     if padding is None:
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
     mode = mode or _CONV3D_MODE
+    if mode == "packw":
+        if (strides == (1, 1, 1)
+                and padding == ((1, 1), (1, 1), (1, 1))
+                and tuple(kernel.shape[:3]) == (3, 3, 3)
+                and x.shape[3] % 2 == 0
+                and kernel.shape[-1] < 128):
+            return _packw_conv3d(x, kernel)
+        mode = "direct"  # full-lane Cout / odd W / strided: no lane waste
     if mode == "tapmm":
         from ..ops.tap_conv import supports_tap_conv3d, tap_conv3d
         if (strides == (1, 1, 1)

@@ -276,7 +276,7 @@ def test_conv3d_lowering_modes_match(rng):
         blocks.set_conv3d_mode("direct")
         variables = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
         dense_ref, regs_ref = model.apply(variables, x, lungs, train=False)
-        for mode in ("d2sum", "d2cat"):
+        for mode in ("d2sum", "d2cat", "packw"):
             blocks.set_conv3d_mode(mode)
             v2 = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
             assert (jax.tree_util.tree_structure(v2)
