@@ -1,0 +1,234 @@
+"""Pallas TPU kernel: packed-domain 3x3x3 conv with a rolling depth ring.
+
+Third kernel generation for the decoder's sub-128-lane convs, built on the
+round-3 measurements (DEVNOTES):
+
+- XLA runs the decoder's 64-out convs at ~44-49 TF/s in-model and every
+  XLA-level reformulation (packres 2x, packw 4/3-stride-2) pays its
+  overhead back exactly — in-model layout assignment erases the isolated
+  wins.  A Pallas kernel has a FIXED schedule: isolated == in-model.
+- The round-3 ``tap_conv`` kernel lost to HBM read amplification (9x) and
+  misaligned band extraction.  This kernel fixes both:
+
+  * **read-once DMA**: grid over (batch, W-tiles); the kernel loops over
+    depth with a 4-slot ring of halo'd planes in VMEM, double-buffering
+    the next plane's DMA behind the current plane's matmuls.  Each input
+    element is fetched from HBM once (plus a small W-tile halo).
+  * **aligned taps**: activations are W-pair packed (``models/packed.py``
+    layout, (B,D,H,Wh,2C)) so the three packed W-taps are *whole-lane*
+    blocks — the patch build is 3 sublane-shift copies per depth tap, no
+    lane slicing.  Height taps become row-offset slices of the SAME patch
+    (major dim — free), depth taps select ring planes.
+  * **full-lane matmuls**: 9 matmuls of (H*WT, 3*2C) @ (3*2C, 2O) per
+    output plane — K >= 384, N = 128 for the model's 64-channel convs.
+
+  Cost model: the packed-domain weight matrices are half structural zeros
+  (2x the logical FLOPs — same as XLA's packres form), so beating XLA
+  requires > ~100 TF/s gross, i.e. >= 50% MXU on (2688, 384, 128)-class
+  matmuls with DMA fully hidden.
+
+Weights per (dd, dh): rows (p-block, packed channel) x cols (o, oc) with
+``W[(p+1)*2C + q*C + c, o*O + oc] = k[dd, dh, dw, c, oc]`` where
+``dw = 2p + q - o + 1`` when 0 <= dw <= 2 (6 of 12 parity blocks nonzero
+— the ``models/packed.py`` pairing table, transposed into matmul form).
+
+Reference op: ``conv3x3x3`` (``med3d.py:91-100``) in the decoder
+(``med3d.py:50-89,215-233``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def build_roll_weights(kernel: jax.Array) -> jax.Array:
+    """(3,3,3,C,O) logical kernel -> (3,3, 6C, 2O) packed tap matrices."""
+    _, _, _, c, o = kernel.shape
+    out = jnp.zeros((3, 3, 6 * c, 2 * o), kernel.dtype)
+    for p in (-1, 0, 1):
+        for q in (0, 1):
+            for oo in (0, 1):
+                dw = 2 * p + q - oo + 1
+                if not 0 <= dw <= 2:
+                    continue
+                r0 = (p + 1) * 2 * c + q * c
+                out = out.at[:, :, r0:r0 + c,
+                             oo * o:(oo + 1) * o].set(kernel[:, :, dw])
+    return out
+
+
+def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
+          vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
+    """Pick the packed-W tile (WT, divides Wh) or None if unsupported."""
+    b, d, h, wh, c2 = shape
+    hp = h + 2
+    for wt in (32, 24, 16, 12, 8):
+        if wh % wt:
+            continue
+        wtp = _round_up(wt + 2, 8)
+        ring = 5 * hp * wtp * c2 * itemsize
+        patch = hp * wt * 3 * c2 * itemsize
+        weights = 9 * 3 * c2 * 2 * o * itemsize
+        acc = 2 * h * wt * 2 * o * 4
+        stage = 2 * h * wt * 2 * o * itemsize
+        if ring + patch + weights + acc + stage <= vmem_budget:
+            return wt
+    return None
+
+
+def supports_roll_conv(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
+                       itemsize: int = 2) -> bool:
+    """``shape`` is the PACKED activation shape (B, D, H, Wh, 2C)."""
+    if tuple(kernel_shape[:3]) != (3, 3, 3):
+        return False
+    if shape[-1] != 2 * kernel_shape[3]:
+        return False
+    return _plan(tuple(shape), kernel_shape[-1], itemsize) is not None
+
+
+def _kernel_body(x_hbm, w_ref, out_hbm, ring, patch, stage,
+                 in_sems, out_sems, *, D: int, H: int, WT: int, WTP: int,
+                 C2: int, O2: int):
+    b = pl.program_id(0)
+    wt_i = pl.program_id(1)
+    HP = H + 2
+    w0 = wt_i * WT                     # left halo starts at w0 (padded x)
+
+    def in_dma(di):
+        slot = jax.lax.rem(di, 4)
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(di, 1), :, pl.ds(w0, WTP)],
+            ring.at[pl.ds(slot, 1)], in_sems.at[slot])
+
+    # ring slot 4 stays all-zero: the d = -1 / d = D virtual planes
+    ring[pl.ds(4, 1)] = jnp.zeros_like(ring[pl.ds(4, 1)])
+    in_dma(0).start()
+    in_dma(1).start()
+
+    def loop(dout, carry):
+        # prefetch the plane needed two iterations ahead
+        @pl.when(dout + 2 < D)
+        def _():
+            in_dma(dout + 2).start()
+
+        @pl.when(dout + 1 < D)
+        def _():
+            in_dma(dout + 1).wait()
+
+        @pl.when(dout == 0)
+        def _():
+            in_dma(0).wait()
+
+        acc = jnp.zeros((H * WT, O2), jnp.float32)
+        for dd in range(3):
+            di = dout + dd - 1
+            slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
+            plane = ring[pl.ds(slot, 1)][0]          # (HP, WTP, C2)
+            for p in range(3):
+                patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
+            for dh in range(3):
+                a = patch[pl.ds(dh, H)].reshape(H * WT, 3 * C2)
+                acc = acc + jnp.dot(a, w_ref[dd, dh],
+                                    preferred_element_type=jnp.float32)
+
+        sslot = jax.lax.rem(dout, 2)
+
+        @pl.when(dout >= 2)
+        def _():
+            pltpu.make_async_copy(stage.at[pl.ds(sslot, 1)],
+                                  out_hbm.at[b, pl.ds(dout - 2, 1), :,
+                                             pl.ds(wt_i * WT, WT)],
+                                  out_sems.at[sslot]).wait()
+        stage[pl.ds(sslot, 1)] = acc.reshape(1, H, WT, O2).astype(stage.dtype)
+        pltpu.make_async_copy(stage.at[pl.ds(sslot, 1)],
+                              out_hbm.at[b, pl.ds(dout, 1), :, pl.ds(wt_i * WT, WT)],
+                              out_sems.at[sslot]).start()
+        return carry
+
+    jax.lax.fori_loop(0, D, loop, 0)
+    # drain the last two output DMAs
+    pltpu.make_async_copy(stage.at[pl.ds((D - 2) % 2, 1)],
+                          out_hbm.at[b, pl.ds(D - 2, 1), :, pl.ds(wt_i * WT, WT)],
+                          out_sems.at[(D - 2) % 2]).wait()
+    pltpu.make_async_copy(stage.at[pl.ds((D - 1) % 2, 1)],
+                          out_hbm.at[b, pl.ds(D - 1, 1), :, pl.ds(wt_i * WT, WT)],
+                          out_sems.at[(D - 1) % 2]).wait()
+
+
+def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    B, D, H, Wh, C2 = xp.shape
+    O = kernel.shape[-1]
+    O2 = 2 * O
+    WT = _plan(xp.shape, O, xp.dtype.itemsize)
+    assert WT is not None, "gate with supports_roll_conv"
+    WTP = _round_up(WT + 2, 8)
+    HP = H + 2
+
+    # pad: H one zero row each side; W one zero packed col left, right up
+    # to the last tile's DMA window (w0 max = Wh - WT -> needs WTP cols)
+    wpad_r = (Wh - WT + WTP) - (Wh + 1)
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, wpad_r), (0, 0)))
+
+    w = build_roll_weights(kernel.astype(xp.dtype))   # (3,3,6C,2O)
+
+    body = functools.partial(_kernel_body, D=D, H=H, WT=WT, WTP=WTP,
+                             C2=C2, O2=O2)
+    out = pl.pallas_call(
+        body,
+        grid=(B, Wh // WT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, Wh, O2), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, HP, WTP, C2), xp.dtype),    # plane ring + zero
+            pltpu.VMEM((HP, WT, 3 * C2), xp.dtype),    # tap patch
+            pltpu.VMEM((2, H, WT, O2), xp.dtype),      # out staging
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(xpad, w)
+    return out
+
+
+def _direct_packed_reference(xp, kernel):
+    """Packed-domain reference: unpack -> direct conv -> pack."""
+    from ..models.packed import pack_w, unpack_w
+    x = unpack_w(xp)
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return pack_w(out)
+
+
+@jax.custom_vjp
+def roll_conv_packed(xp: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Packed-layout stride-1 pad-1 3^3 conv: (B,D,H,Wh,2C) x (3,3,3,C,O)
+    -> (B,D,H,Wh,2O).  Pallas rolling-ring forward, direct-conv backward."""
+    return _roll_conv_impl(xp, kernel)
+
+
+def _fwd(xp, kernel):
+    return _roll_conv_impl(xp, kernel), (xp, kernel)
+
+
+def _bwd(res, g):
+    xp, kernel = res
+    _, vjp = jax.vjp(_direct_packed_reference, xp, kernel)
+    return vjp(g)
+
+
+roll_conv_packed.defvjp(_fwd, _bwd)

@@ -116,3 +116,48 @@ def test_tap_conv3d_weight_streaming(rng):
         assert not supports_tap_conv3d((1, 4, 8, 9, 8), (3, 3, 3, 8, 16),
                                        (1, 1, 1))
     test_gates()
+
+
+def test_roll_conv_matches_direct(rng):
+    """Rolling-ring packed conv (interpret mode) == direct conv in the
+    packed domain, across single- and multi-W-tile plans, plus the VJP."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.models.packed import pack_w
+    from bodyct_dram_emph_subtype_tpu.ops.roll_conv import (
+        _direct_packed_reference, _roll_conv_impl, roll_conv_packed,
+        supports_roll_conv)
+
+    # single tile
+    x = jnp.asarray(rng.randn(2, 5, 6, 16, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32))
+    xp = pack_w(x)
+    assert supports_roll_conv(xp.shape, k.shape, 4)
+    ref = _direct_packed_reference(xp, k)
+    with pltpu.force_tpu_interpret_mode():
+        out = roll_conv_packed(xp, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # multiple W tiles (Wh=40 -> five tiles of 8)
+    x2 = jnp.asarray(rng.randn(1, 4, 6, 80, 4).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32))
+    xp2 = pack_w(x2)
+    ref2 = _direct_packed_reference(xp2, k2)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = _roll_conv_impl(xp2, k2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss_pl(xp, k):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(roll_conv_packed(xp, k) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(xp, k)
+    g_ref = jax.grad(
+        lambda xp, k: jnp.sum(_direct_packed_reference(xp, k) ** 2),
+        argnums=(0, 1))(xp, k)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-2)
