@@ -69,18 +69,23 @@ def build_roll_weights(kernel: jax.Array) -> jax.Array:
 
 def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
           vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
-    """Pick the packed-W tile (WT, divides Wh) or None if unsupported."""
+    """Pick the packed-W tile (WT, divides the 8-rounded Wh) or None."""
     b, d, h, wh, c2 = shape
     hp = h + 2
-    for wt in (32, 24, 16, 12, 8):
-        if wh % wt:
+    whp = _round_up(wh, 8)           # impl zero-pads Wh up to this
+    o2p = max(2 * o, 128)            # impl zero-pads output lanes to >=128
+    # tile sizes are multiples of 8 so every tile's W offset is 8-aligned
+    # (Mosaic requires provably tiling-aligned slice starts on the
+    # second-minor dim for both the HBM DMA and the VMEM views)
+    for wt in (32, 24, 16, 8):
+        if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
         ring = 5 * hp * wtp * c2 * itemsize
         patch = hp * wt * 3 * c2 * itemsize
-        weights = 9 * 3 * c2 * 2 * o * itemsize
-        acc = 2 * h * wt * 2 * o * 4
-        stage = 2 * h * wt * 2 * o * itemsize
+        weights = 9 * 3 * c2 * o2p * itemsize
+        acc = 2 * h * wt * o2p * 4
+        stage = 2 * h * wt * o2p * itemsize
         if ring + patch + weights + acc + stage <= vmem_budget:
             return wt
     return None
@@ -96,9 +101,9 @@ def supports_roll_conv(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
     return _plan(tuple(shape), kernel_shape[-1], itemsize) is not None
 
 
-def _kernel_body(x_hbm, w_ref, out_hbm, ring, patch, stage,
-                 in_sems, out_sems, *, D: int, H: int, WT: int, WTP: int,
-                 C2: int, O2: int):
+def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patch,
+                 stage, in_sems, out_sems, *, D: int, H: int, WT: int,
+                 WTP: int, C2: int, O2: int, relu: bool):
     b = pl.program_id(0)
     wt_i = pl.program_id(1)
     HP = H + 2
@@ -141,6 +146,10 @@ def _kernel_body(x_hbm, w_ref, out_hbm, ring, patch, stage,
                 acc = acc + jnp.dot(a, w_ref[dd, dh],
                                     preferred_element_type=jnp.float32)
 
+        acc = acc * scale_ref[...] + shift_ref[...]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+
         sslot = jax.lax.rem(dout, 2)
 
         @pl.when(dout >= 2)
@@ -166,41 +175,59 @@ def _kernel_body(x_hbm, w_ref, out_hbm, ring, patch, stage,
 
 
 def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
+                    scale: Optional[jax.Array] = None,
+                    shift: Optional[jax.Array] = None,
+                    relu: bool = False,
                     interpret: bool = False) -> jax.Array:
     B, D, H, Wh, C2 = xp.shape
     O = kernel.shape[-1]
     O2 = 2 * O
+    O2P = max(O2, 128)               # pad output lanes to a full lane tile
     WT = _plan(xp.shape, O, xp.dtype.itemsize)
     assert WT is not None, "gate with supports_roll_conv"
     WTP = _round_up(WT + 2, 8)
     HP = H + 2
+    WhP = _round_up(Wh, 8)           # packed-W cols incl. zero padding
 
-    # pad: H one zero row each side; W one zero packed col left, right up
-    # to the last tile's DMA window (w0 max = Wh - WT -> needs WTP cols)
-    wpad_r = (Wh - WT + WTP) - (Wh + 1)
+    # pad: H one zero row each side; W one zero packed col left, then zero
+    # cols up to WhP plus the last tile's DMA window (w0 max = WhP - WT
+    # -> the padded array must reach WhP - WT + WTP cols after the left 1)
+    wpad_r = (WhP - WT + WTP) - (Wh + 1)
     xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, wpad_r), (0, 0)))
 
     w = build_roll_weights(kernel.astype(xp.dtype))   # (3,3,6C,2O)
+    if O2P != O2:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, O2P - O2)))
+    if scale is None:
+        scale = jnp.ones((O2,), jnp.float32)
+    if shift is None:
+        shift = jnp.zeros((O2,), jnp.float32)
+    scale = jnp.pad(scale.astype(jnp.float32), (0, O2P - O2)).reshape(1, O2P)
+    shift = jnp.pad(shift.astype(jnp.float32), (0, O2P - O2)).reshape(1, O2P)
 
     body = functools.partial(_kernel_body, D=D, H=H, WT=WT, WTP=WTP,
-                             C2=C2, O2=O2)
+                             C2=C2, O2=O2P, relu=relu)
     out = pl.pallas_call(
         body,
-        grid=(B, Wh // WT),
+        grid=(B, WhP // WT),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, D, H, Wh, O2), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, WhP, O2P), xp.dtype),
         scratch_shapes=[
             pltpu.VMEM((5, HP, WTP, C2), xp.dtype),    # plane ring + zero
             pltpu.VMEM((HP, WT, 3 * C2), xp.dtype),    # tap patch
-            pltpu.VMEM((2, H, WT, O2), xp.dtype),      # out staging
+            pltpu.VMEM((2, H, WT, O2P), xp.dtype),     # out staging
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(xpad, w)
+    )(xpad, w, scale, shift)
+    if WhP != Wh or O2P != O2:
+        out = out[:, :, :, :Wh, :O2]
     return out
 
 
@@ -232,3 +259,17 @@ def _bwd(res, g):
 
 
 roll_conv_packed.defvjp(_fwd, _bwd)
+
+
+def roll_conv_affine_relu(xp: jax.Array, kernel: jax.Array,
+                          scale: jax.Array, shift: jax.Array,
+                          relu: bool = True,
+                          interpret: bool = False) -> jax.Array:
+    """Fused eval-mode decoder stage: ``relu(conv(xp, kernel)*scale+shift)``
+    in one kernel pass (BN running stats + conv bias folded into
+    scale/shift by the caller).  ``scale``/``shift`` are per-PACKED-output-
+    channel vectors of length ``2*O``.  Forward-only (no autodiff rule) —
+    use :func:`roll_conv_packed` + explicit affine when gradients are
+    needed.  Reference stage: conv+BN+ReLU in ``med3d.py:50-89``."""
+    return _roll_conv_impl(xp, kernel, scale, shift, relu=relu,
+                           interpret=interpret)

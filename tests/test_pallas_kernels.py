@@ -150,6 +150,28 @@ def test_roll_conv_matches_direct(rng):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=1e-4, atol=1e-4)
 
+    # Wh not a multiple of 8 (W=36 -> Wh=18 -> padded plan on WhP=24)
+    x3 = jnp.asarray(rng.randn(1, 4, 6, 36, 4).astype(np.float32))
+    k3 = jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32))
+    xp3 = pack_w(x3)
+    assert supports_roll_conv(xp3.shape, k3.shape, 4)
+    ref3 = _direct_packed_reference(xp3, k3)
+    with pltpu.force_tpu_interpret_mode():
+        out3 = _roll_conv_impl(xp3, k3)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               rtol=1e-4, atol=1e-4)
+
+    # fused affine + ReLU epilogue (eval-mode BN folded into scale/shift)
+    from bodyct_dram_emph_subtype_tpu.ops.roll_conv import \
+        roll_conv_affine_relu
+    sc = jnp.asarray(rng.rand(12).astype(np.float32) + 0.5)
+    sh = jnp.asarray(rng.randn(12).astype(np.float32))
+    ref_f = jnp.maximum(ref * sc + sh, 0.0)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = roll_conv_affine_relu(xp, k, sc, sh)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=1e-4, atol=1e-4)
+
     def loss_pl(xp, k):
         with pltpu.force_tpu_interpret_mode():
             return jnp.sum(roll_conv_packed(xp, k) ** 2)
