@@ -54,12 +54,18 @@ _CONV3D_MODE = _os.environ.get("BODYCT_CONV3D_MODE", "direct")
 
 def set_conv3d_mode(mode: str) -> None:
     """Set the global 3-D conv lowering ('direct' | 'd2sum' | 'd2cat' |
-    'pallas' | 'tapmm' | 'packw').  Takes effect at the next trace (jit
-    programs already compiled keep their lowering)."""
+    'pallas' | 'tapmm' | 'packw' | 'roll').  Takes effect at the next trace
+    (jit programs already compiled keep their lowering).  'roll' selects the
+    rolling-ring Pallas kernel for the PACKED decoder convs
+    (``ops/roll_conv.py``) and the direct lowering everywhere else."""
     global _CONV3D_MODE
     assert mode in ("direct", "d2sum", "d2cat", "pallas", "tapmm",
-                    "packw"), mode
+                    "packw", "roll"), mode
     _CONV3D_MODE = mode
+
+
+def get_conv3d_mode() -> str:
+    return _CONV3D_MODE
 
 
 def _packw_conv3d(x, kernel):
@@ -96,6 +102,8 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
     if padding is None:
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
     mode = mode or _CONV3D_MODE
+    if mode == "roll":
+        mode = "direct"   # roll applies only to packed-domain decoder convs
     if mode == "packw":
         if (strides == (1, 1, 1)
                 and padding == ((1, 1), (1, 1), (1, 1))

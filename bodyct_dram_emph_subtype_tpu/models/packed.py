@@ -135,26 +135,57 @@ class StemConvS2D(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+def _roll_mode_supported(xp_shape, kernel_shape, itemsize: int) -> bool:
+    """True when conv mode 'roll' is active and the rolling-ring kernel
+    (``ops/roll_conv.py``) supports this packed conv shape.
+
+    Beyond the kernel's capability gate, require a large spatial extent:
+    measured on the v5e (DEVNOTES round 3), the kernel beats XLA on the
+    half-resolution stages (64x112x72 packed, >=66M input elements) but
+    loses on the quarter-resolution us1 stage (32x56x36, 8M — DMA-bound,
+    5.5 ms vs XLA's ~2.6), so small stages keep the XLA lowering."""
+    from .blocks import get_conv3d_mode
+    if get_conv3d_mode() != "roll":
+        return False
+    b, d, h, wh, c2 = xp_shape
+    if d * h * wh * c2 < _ROLL_MIN_ELEMS:
+        return False
+    from ..ops.roll_conv import supports_roll_conv
+    return supports_roll_conv(tuple(xp_shape), tuple(kernel_shape), itemsize)
+
+
+_ROLL_MIN_ELEMS = 32 * 2 ** 20   # tests patch this to 0 for tiny shapes
+
+
 class PackedConv3(nn.Module):
     """k=3 s=1 conv applied in the packed domain.  Param layout (kernel
     DHWIO at the LOGICAL channel counts + optional bias) matches
-    ``nn.Conv``/``conv3d`` exactly."""
+    ``nn.Conv``/``conv3d`` exactly.  ``return_params=True`` creates the
+    parameters and hands them to the caller instead of computing (used by
+    the fused conv+BN+ReLU eval path in ``PackedUpsampleConvBlock``)."""
     features: int
     use_bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xp):
+    def __call__(self, xp, return_params: bool = False):
         ci = xp.shape[-1] // 2
         kernel = self.param("kernel", kaiming_normal_fan_out,
                             (3, 3, 3, ci, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        if return_params:
+            return kernel, bias
         dtype = self.dtype or xp.dtype
-        kp = build_packed_kernel_k3(kernel.astype(dtype))
-        out = jax.lax.conv_general_dilated(
-            xp.astype(dtype), kp, (1, 1, 1), [(1, 1)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if _roll_mode_supported(xp.shape, kernel.shape,
+                                jnp.dtype(dtype).itemsize):
+            from ..ops.roll_conv import roll_conv_packed
+            out = roll_conv_packed(xp.astype(dtype), kernel.astype(dtype))
+        else:
+            kp = build_packed_kernel_k3(kernel.astype(dtype))
+            out = jax.lax.conv_general_dilated(
+                xp.astype(dtype), kp, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         if bias is not None:
             out = out + jnp.tile(bias.astype(dtype), 2)
         return out
@@ -171,7 +202,7 @@ class _PackedBN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xp, train: bool):
+    def __call__(self, xp, train: bool, return_affine: bool = False):
         c2 = xp.shape[-1]
         c = c2 // 2
         ra_mean = self.variable("batch_stats", "mean",
@@ -180,6 +211,14 @@ class _PackedBN(nn.Module):
                                nn.initializers.ones, None, (c,), jnp.float32)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if return_affine:
+            # eval-mode y = x*mul + add from the running stats, as logical
+            # per-channel f32 vectors (caller folds into a conv epilogue;
+            # xp is only consulted for the channel count)
+            mul = (scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+                   ).astype(jnp.float32)
+            add = (bias - ra_mean.value * mul).astype(jnp.float32)
+            return mul, add
         if train:
             xf = xp.astype(jnp.float32)
             m_p = jnp.mean(xf, axis=(0, 1, 2, 3))        # per packed channel
@@ -207,9 +246,34 @@ class PackedNormWrapper(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xp, train: bool):
+    def __call__(self, xp, train: bool, return_affine: bool = False):
         assert self.method in ("bn", "sbn"), self.method
-        return _PackedBN(dtype=self.dtype, name="bn")(xp, train)
+        return _PackedBN(dtype=self.dtype, name="bn")(xp, train,
+                                                      return_affine)
+
+
+def packed_stage(conv: PackedConv3, norm: PackedNormWrapper, xp, train: bool):
+    """One decoder stage ``relu(bn(conv(xp)))`` on packed activations.
+
+    In eval mode under conv mode 'roll' (and a kernel-supported shape) the
+    whole stage runs as ONE Pallas pass — the BN running-stats affine and
+    the conv bias fold into the rolling-ring kernel's epilogue, so the
+    conv output never round-trips HBM between conv, BN and ReLU.
+    Reference stage: conv+BN+ReLU in ``med3d.py:50-89``."""
+    ch = conv.features
+    dtype = conv.dtype or xp.dtype
+    kshape = (3, 3, 3, xp.shape[-1] // 2, ch)
+    if ((not train) and conv.use_bias
+            and _roll_mode_supported(xp.shape, kshape,
+                                     jnp.dtype(dtype).itemsize)):
+        from ..ops.roll_conv import roll_conv_affine_relu
+        kernel, bias = conv(xp, return_params=True)
+        dummy = jnp.zeros((1, 1, 1, 1, 2 * ch), xp.dtype)
+        mul, add = norm(dummy, train, return_affine=True)   # logical (ch,)
+        shift = bias.astype(jnp.float32) * mul + add
+        return roll_conv_affine_relu(xp.astype(dtype), kernel.astype(dtype),
+                                     jnp.tile(mul, 2), jnp.tile(shift, 2))
+    return nn.relu(norm(conv(xp), train))
 
 
 class PackedUpsampleConvBlock(nn.Module):
@@ -230,10 +294,10 @@ class PackedUpsampleConvBlock(nn.Module):
         up = up.astype(inputs.dtype)
         x = pack_w(crop_concat(up, cats))
         for idx, ch in enumerate(self.base_chs):
-            x = PackedConv3(ch, dtype=self.dtype, name=f"conv{idx}")(x)
-            x = PackedNormWrapper(dtype=self.dtype,
-                                  name=f"norm{idx}")(x, train)
-            x = nn.relu(x)
+            x = packed_stage(
+                PackedConv3(ch, dtype=self.dtype, name=f"conv{idx}"),
+                PackedNormWrapper(dtype=self.dtype, name=f"norm{idx}"),
+                x, train)
         return unpack_w(x)
 
 

@@ -130,17 +130,19 @@ class _Decoder(nn.Module):
         do_remat = "decoder" in remat_scopes(self.remat)
         if self.packed:
             from .packed import (PackedConv3, PackedNormWrapper,
-                                 PackedUpsampleConvBlock, pack_w, unpack_w)
+                                 PackedUpsampleConvBlock, pack_w,
+                                 packed_stage, unpack_w)
             up_cls = (nn.remat(PackedUpsampleConvBlock, static_argnums=(3,))
                       if do_remat else PackedUpsampleConvBlock)
             xup1 = up_cls([64, 64], dtype=self.dtype,
                           name="us1")(x4, x1, train)
             xup2 = up_cls([64, 64], dtype=self.dtype,
                           name="us2")(xup1, stem, train)
-            x = pack_w(xup2)
-            x = PackedConv3(32, dtype=self.dtype, name="us3_conv")(x)
-            x = PackedNormWrapper(dtype=self.dtype, name="us3_bn")(x, train)
-            return unpack_w(nn.relu(x))
+            x = packed_stage(
+                PackedConv3(32, dtype=self.dtype, name="us3_conv"),
+                PackedNormWrapper(dtype=self.dtype, name="us3_bn"),
+                pack_w(xup2), train)
+            return unpack_w(x)
         up_cls = (nn.remat(UpsampleConvBlock, static_argnums=(3,))
                   if do_remat else UpsampleConvBlock)
         xup1 = up_cls([64, 64], dtype=self.dtype,

@@ -132,6 +132,43 @@ def test_packed_model_forward_and_train_match_unpacked(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_packed_model_roll_mode_matches_direct(rng):
+    """Conv mode 'roll' (rolling-ring Pallas kernel, interpret mode) on the
+    packed model == mode 'direct' on the same params, in eval mode (fused
+    conv+BN+ReLU epilogue from running stats) and train mode (plain roll
+    conv, batch-stats updates)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.blocks import set_conv3d_mode
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+
+    x = jnp.asarray(rng.randn(2, 16, 32, 32, 1).astype(np.float32))
+    lungs = jnp.ones_like(x)
+    m = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    d0, r0 = m.apply(v, x, lungs, train=False)
+    (_, mut0) = m.apply(v, x, lungs, train=True, mutable=["batch_stats"])
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    try:
+        set_conv3d_mode("roll")
+        packed_mod._ROLL_MIN_ELEMS = 0   # tiny test shapes must take roll
+        with pltpu.force_tpu_interpret_mode():
+            d1, r1 = m.apply(v, x, lungs, train=False)
+            (_, mut1) = m.apply(v, x, lungs, train=True,
+                                mutable=["batch_stats"])
+    finally:
+        set_conv3d_mode("direct")
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+    np.testing.assert_allclose(np.asarray(d1[0]), np.asarray(d0[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r0[0]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_s2d_stem_conv_matches_direct(rng):
     """Space-to-depth stem conv == direct k7 s2 conv (same params), and the
     odd-dims fallback is exact."""
