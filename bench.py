@@ -55,14 +55,15 @@ def _force_fetch(out):
     return np.asarray(out[0] if isinstance(out, (tuple, list)) else out)
 
 
-def bench_inference(jax, jnp, schedule="puts_first"):
+def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.ops.packing import (pack12_host,
                                                           unpack12_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
     from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear_matmul
 
-    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16)
+    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
+                              packed_decoder=packed_decoder)
     x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
         jax.random.PRNGKey(0))
@@ -152,18 +153,22 @@ def bench_inference(jax, jnp, schedule="puts_first"):
 
 def bench_train(jax, jnp):
     """bf16 remat+donated dRAM train step.  Best measured config first:
-    B=4 with the W-pair packed decoder (1043 ms/step on v5e vs 1149
-    unpacked — packed activations carry no bf16 lane padding), falling
-    back on OOM."""
+    B=4, W-pair packed decoder (no bf16 lane padding on activations),
+    selective remat (recompute only the large stem-/half-res activations;
+    keep the FLOP-heavy small-activation layer3/4 in HBM — ``remat_scopes``
+    in ``models/resnet3d.py``), falling back toward blanket remat and
+    smaller batch on OOM."""
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.train import (
         TrainState, make_optimizer, make_reg_train_step)
 
     attempts = []
-    for batch, packed in ((4, True), (4, False), (2, False)):
+    for batch, packed, remat in ((4, True, "layer1,layer2,decoder"),
+                                 (4, True, True), (4, False, True),
+                                 (2, False, True)):
         try:
             model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
-                                      remat=True, packed_decoder=packed)
+                                      remat=remat, packed_decoder=packed)
             x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
             v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
                 jax.random.PRNGKey(0))
@@ -200,6 +205,7 @@ def bench_train(jax, jnp):
             # the failure per config so a genuine crash in the packed /
             # donated path is distinguishable from an OOM fallback
             attempts.append({"batch": batch, "packed": packed,
+                             "remat": str(remat),
                              "error": type(e).__name__})
             continue
     return 0.0, 0, 0.0, 0.0, attempts
@@ -269,11 +275,13 @@ def main():
     # (benchmarks/exp_link.py); 'auto' measures both and keeps the best
     p.add_argument("--schedule", default="auto",
                    choices=["auto", "puts_first", "interleaved"])
-    # 'direct' measured fastest IN-MODEL (XLA's fused conv schedules beat
-    # both the isolated-conv alternatives and the Pallas kernel; see
-    # DEVNOTES.md round-2 findings)
+    # 'roll' (rolling-ring Pallas kernel on the packed decoder, fused
+    # conv+BN+ReLU eval stages) measured fastest for inference in round 3:
+    # 198.3 ms fwd @ B=4 vs 209.9 direct (DEVNOTES round-3 findings).  The
+    # kernel only engages on packed-decoder convs above its size gate;
+    # everything else keeps XLA's direct lowering.
     p.add_argument("--conv-mode", default=os.environ.get(
-        "BODYCT_CONV3D_MODE", "direct"))
+        "BODYCT_CONV3D_MODE", "roll"))
     args = p.parse_args()
 
     import jax
@@ -289,7 +297,9 @@ def main():
     blocks.set_conv3d_mode(args.conv_mode)
 
     n_dev = max(len(jax.devices()), 1)
-    e2e_samples, compute_samples = bench_inference(jax, jnp, args.schedule)
+    # the roll kernel operates on the W-pair packed decoder layout
+    e2e_samples, compute_samples = bench_inference(
+        jax, jnp, args.schedule, packed_decoder=(args.conv_mode == "roll"))
 
     # best AND median per metric: the dev tunnel's link throughput swings
     # 2-3x between windows; the median keeps round-over-round comparisons

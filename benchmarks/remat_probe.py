@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Probe: selective-remat policies for the B=4 bf16 packed train step.
+
+Round-2 trained with blanket ``remat=True`` (every residual block + decoder
+stage recomputed) at 931.9 ms/step.  The selective scopes (``remat_scopes``
+in ``models/resnet3d.py``) keep the small-activation, FLOP-heavy layer3/4
+in HBM and recompute only the large stem-/half-resolution activations.
+This measures each policy on the chip; OOM configs are recorded, not fatal.
+
+Reference training config being beaten: batch 1/GPU (``train.py:42``).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TARGET = (128, 224, 288)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    print(json.dumps({"devices": [str(d) for d in jax.devices()]}),
+          flush=True)
+
+    from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
+    from bodyct_dram_emph_subtype_tpu.train import (
+        TrainState, make_optimizer, make_reg_train_step)
+
+    B = 4
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(B, *TARGET).astype(np.float32)),
+        "lung_mask": jnp.ones((B, *TARGET), jnp.float32),
+        "em_mask": jnp.asarray(
+            (rng.rand(B, *TARGET) > 0.9).astype(np.float32)),
+        "cls_label": jnp.asarray(rng.randint(0, 6, B), jnp.int32),
+        "pse_label": jnp.asarray(rng.randint(0, 3, B), jnp.int32),
+    }
+    sargs = (jnp.asarray(1e-4), jnp.ones(6) / 6, jnp.ones(3) / 3,
+             jax.random.PRNGKey(1))
+
+    policies = [
+        "layer1,layer2,decoder",
+        "layer1,decoder",
+        "decoder",
+        True,
+    ]
+    for remat in policies:
+        tag = remat if isinstance(remat, str) else "all"
+        try:
+            model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
+                                      remat=remat, packed_decoder=True)
+            x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
+            v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
+                jax.random.PRNGKey(0))
+            tx = make_optimizer()
+            state = TrainState.create(dict(v), tx)
+            step = make_reg_train_step(model, tx, num_data_shards=1,
+                                       donate=True)
+            state, m, _ = step(state, batch, *sargs)
+            _ = float(m["loss"])
+            n = 5
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(n):
+                    state, m, _ = step(state, batch, *sargs)
+                _ = float(m["loss"])
+                samples.append((time.time() - t0) / n * 1e3)
+            ms = min(samples)
+            print(json.dumps({
+                "remat": tag, "ms": round(ms, 1),
+                "vols_per_s": round(B / (ms / 1e3), 2),
+                "median_ms": round(float(np.median(samples)), 1),
+            }), flush=True)
+            del state, step, v
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"remat": tag, "error": type(e).__name__,
+                              "msg": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

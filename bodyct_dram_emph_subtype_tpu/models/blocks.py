@@ -103,7 +103,17 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
     mode = mode or _CONV3D_MODE
     if mode == "roll":
-        mode = "direct"   # roll applies only to packed-domain decoder convs
+        # 'roll' = use the custom Pallas kernels where they beat XLA:
+        # the rolling-ring kernel on the packed decoder (models/packed.py)
+        # and the plane-flat kernel on the s2b trunk convs; direct
+        # everywhere else
+        from ..ops.flat_conv import flat_conv3d, supports_flat_conv
+        if (strides == (1, 1, 1)
+                and padding == ((1, 1), (1, 1), (1, 1))
+                and supports_flat_conv(x.shape, kernel.shape,
+                                       x.dtype.itemsize)):
+            return flat_conv3d(x, kernel)
+        mode = "direct"
     if mode == "packw":
         if (strides == (1, 1, 1)
                 and padding == ((1, 1), (1, 1), (1, 1))

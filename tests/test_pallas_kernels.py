@@ -183,3 +183,57 @@ def test_roll_conv_matches_direct(rng):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-2)
+
+
+def test_flat_conv3d_matches_direct(rng):
+    """Plane-flat im2col conv (interpret mode) == XLA direct conv at
+    layer3/4-like s2b shapes (full-lane channels, tiny planes), incl. the
+    O-chunked weight-streaming path and the VJP."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.ops.flat_conv import (
+        _direct_reference, _flat_conv_impl, flat_conv3d, supports_flat_conv)
+
+    # layer4-like subgrid geometry, scaled down in N
+    x = jnp.asarray(rng.randn(2, 4, 7, 9, 128).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 128, 128).astype(np.float32))
+    assert supports_flat_conv(x.shape, k.shape, 4)
+    ref = _direct_reference(x, k)
+    with pltpu.force_tpu_interpret_mode():
+        out = flat_conv3d(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # O-chunking: a tight budget forces OC=128 over two chunks
+    k2 = jnp.asarray(rng.randn(3, 3, 3, 128, 256).astype(np.float32))
+    ref2 = _direct_reference(x, k2)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = _flat_conv_impl(x, k2, vmem_budget=4 * 1024 * 1024)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+    # layer3-like geometry (even H/W mix, D=8)
+    x3 = jnp.asarray(rng.randn(1, 8, 6, 5, 128).astype(np.float32))
+    ref3 = _direct_reference(x3, k)
+    with pltpu.force_tpu_interpret_mode():
+        out3 = _flat_conv_impl(x3, k)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               rtol=1e-4, atol=1e-4)
+
+    # gates: non-3^3 kernel, non-128-multiple channels, huge planes refuse
+    assert not supports_flat_conv((2, 4, 7, 9, 128), (1, 1, 1, 128, 128))
+    assert not supports_flat_conv((2, 4, 7, 9, 64), (3, 3, 3, 64, 128))
+    assert not supports_flat_conv((2, 16, 28, 36, 128), (3, 3, 3, 128, 128))
+
+    def loss_pl(x, k):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flat_conv3d(x, k) ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    g_ref = jax.grad(
+        lambda x, k: jnp.sum(_direct_reference(x, k) ** 2),
+        argnums=(0, 1))(x, k)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-2)
