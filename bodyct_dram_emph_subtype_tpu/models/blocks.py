@@ -103,10 +103,14 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
     mode = mode or _CONV3D_MODE
     if mode == "roll":
-        # 'roll' = use the custom Pallas kernels where they beat XLA:
-        # the rolling-ring kernel on the packed decoder (models/packed.py)
-        # and the plane-flat kernel on the s2b trunk convs; direct
-        # everywhere else
+        # 'roll' = rolling-ring kernel on packed-decoder convs only
+        # (models/packed.py); measured 198.3 ms full fwd vs 209.9 direct.
+        # The plane-flat trunk kernel (mode 'flat' below) LOSES both
+        # isolated (layer4 89 vs 114 TF/s) and in-model (214.9 ms fwd) —
+        # the current XLA conv stack is stronger than round-2's; direct
+        # stays the lowering for every non-packed conv.
+        mode = "direct"
+    if mode == "flat":
         from ..ops.flat_conv import flat_conv3d, supports_flat_conv
         if (strides == (1, 1, 1)
                 and padding == ((1, 1), (1, 1), (1, 1))

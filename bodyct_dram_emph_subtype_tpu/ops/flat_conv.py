@@ -33,8 +33,15 @@ would waste 33-78% of the MXU rows on padding.  The formulation here:
 Gradients: custom VJP falls back to the direct XLA conv (training keeps
 the 'direct' lowering anyway; this kernel serves the inference path).
 
-Reference op being accelerated: ``conv3x3x3`` (``med3d.py:91-100``)
-inside layer3/layer4 (``med3d.py:207-213``).
+**Measured verdict (v5e, B=4 bf16, benchmarks/flat_probe.py): LOSES to
+XLA direct** — layer3 4.68 ms vs 4.29 (48.8 vs 53.3 TF/s), layer4 10.22
+vs 8.01 (89.4 vs 114.1 TF/s), full fwd 214.9 ms vs 198.3 without.  The
+current XLA conv stack tiles these full-lane shapes better than round-2's
+did; the kernel stays as opt-in conv mode 'flat' (a tested, documented
+manual-DMA weight-streaming example), NOT in the default path.
+
+Reference op targeted: ``conv3x3x3`` (``med3d.py:91-100``) inside
+layer3/layer4 (``med3d.py:207-213``).
 """
 from __future__ import annotations
 
