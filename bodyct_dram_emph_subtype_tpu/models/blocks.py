@@ -68,6 +68,62 @@ def get_conv3d_mode() -> str:
     return _CONV3D_MODE
 
 
+# ---------------------------------------------------------------------------
+# Subgrid W-merge for the space-to-batch dilated layers (eval only).
+#
+# Whole-layer s2b leaves layer3/layer4 with tiny W extents (18 / 9) that
+# round up to 24 / 16 sublanes on every conv tile — 25% / 44% structural
+# padding.  Merging k subgrids along W with a 2-column zero separator
+# amortises the round-up (layer3 k=8: 158 -> 160 cols, ~1% waste).  A
+# 3-wide W-tap never reaches across a 2-column zero gap, so re-zeroing the
+# separator columns before every 3^3 conv makes the merged layer EXACTLY
+# equal to the per-subgrid lowering (validated bit-level on CPU and by the
+# layer oracle tests).  Eval-only: train-mode BN batch statistics would
+# see the separator zeros.
+# ---------------------------------------------------------------------------
+
+_SGMERGE_K = int(_os.environ.get("BODYCT_SGMERGE_K", "0"))
+_W_SEP_MASK = None   # trace-scoped: set by _Trunk._layer around merged blocks
+
+
+def set_sgmerge_k(k: int) -> None:
+    """Merge up to ``k`` s2b subgrids along W in eval forwards (0/1 = off).
+    Takes effect at the next trace."""
+    global _SGMERGE_K
+    _SGMERGE_K = int(k)
+
+
+def get_sgmerge_k() -> int:
+    return _SGMERGE_K
+
+
+def merge_w_subgrids(x, k: int):
+    """(B·g, D, H, W, C) -> (B·g/k, D, H, k·(W+2)-2, C): concatenate k
+    batch-consecutive subgrids along W with 2 zero separator columns."""
+    Bs, D, H, W, C = x.shape
+    x = x.reshape(Bs // k, k, D, H, W, C)
+    x = jnp.pad(x, ((0, 0),) * 4 + ((0, 2), (0, 0)))
+    x = x.transpose(0, 2, 3, 1, 4, 5).reshape(Bs // k, D, H, k * (W + 2), C)
+    return x[:, :, :, :k * (W + 2) - 2]
+
+
+def unmerge_w_subgrids(x, k: int, w: int):
+    """Inverse of :func:`merge_w_subgrids` (drops separator columns)."""
+    Bg, D, H, _, C = x.shape
+    x = jnp.pad(x, ((0, 0),) * 3 + ((0, 2), (0, 0)))
+    x = x.reshape(Bg, D, H, k, w + 2, C).transpose(0, 3, 1, 2, 4, 5)
+    return x[:, :, :, :, :w].reshape(Bg * k, D, H, w, C)
+
+
+def w_sep_mask(w: int, k: int):
+    """(1,1,1,k·(W+2)-2,1) float32 mask: 0 on separator columns, 1 off."""
+    import numpy as _np
+    m = _np.ones((1, 1, 1, k * (w + 2) - 2, 1), _np.float32)
+    for j in range(1, k):
+        m[:, :, :, j * (w + 2) - 2:j * (w + 2)] = 0.0
+    return jnp.asarray(m)
+
+
 def _packw_conv3d(x, kernel):
     """Stride-1 pad-1 3^3 conv with the OUTPUT W-pairs packed into channels.
 
@@ -101,6 +157,11 @@ def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=None, mode=None):
     kd, kh, kw = kernel.shape[:3]
     if padding is None:
         padding = tuple(((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw))
+    # subgrid-merged layer (eval): re-zero separator columns so a W-tap
+    # never reads a neighbouring subgrid — exactness condition of the merge
+    if (_W_SEP_MASK is not None and kw > 1
+            and x.shape[3] == _W_SEP_MASK.shape[3]):
+        x = x * _W_SEP_MASK.astype(x.dtype)
     mode = mode or _CONV3D_MODE
     if mode == "roll":
         # 'roll' = rolling-ring kernel on packed-decoder convs only
@@ -264,7 +325,10 @@ def conv3d(features: int, kernel: int | Tuple[int, int, int], stride=1,
         assert all(s == 1 for s in stride), "dilated convs are stride-1 here"
         return DilatedConv3d(features, kernel, dilation[0], bias, name=name,
                              dtype=dtype)
-    if _CONV3D_MODE != "direct" and kernel[0] > 1:
+    if (_CONV3D_MODE != "direct" or _W_SEP_MASK is not None) \
+            and kernel[0] > 1:
+        # merged-layer convs must route through conv3d_apply (the separator
+        # re-zero hook lives there), whatever the lowering mode
         return Conv3d(features, kernel_size=kernel, strides=stride,
                       use_bias=bias, name=name, dtype=dtype)
     padding = [(d * (k - 1) // 2, d * (k - 1) // 2)

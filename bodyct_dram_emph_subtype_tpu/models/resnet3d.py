@@ -95,19 +95,39 @@ class _Trunk(nn.Module):
         # are pointwise.  Non-divisible shapes keep the per-conv lowering
         # (whole-layer zero-padding would leak non-zero pad values between
         # stacked convs).
-        from .blocks import batch_to_space_3d, space_to_batch_3d
+        from . import blocks as _blocks
+        from .blocks import (batch_to_space_3d, merge_w_subgrids,
+                             space_to_batch_3d, unmerge_w_subgrids,
+                             w_sep_mask)
         packed = (dilation > 1 and stride == 1
                   and all(s % dilation == 0 for s in x.shape[1:4]))
         eff_dil = 1 if packed else dilation
         if packed:
             x = space_to_batch_3d(x, dilation)
-        need_ds = stride != 1 or x.shape[-1] != planes * exp
-        x = block_cls(planes, stride, eff_dil, use_downsample=need_ds,
-                      dtype=self.dtype, shortcut_type=self.shortcut_type,
-                      name=f"{name}_0")(x, train)
-        for i in range(1, blocks):
-            x = block_cls(planes, 1, eff_dil, use_downsample=False,
-                          dtype=self.dtype, name=f"{name}_{i}")(x, train)
+        # eval-only subgrid W-merge (see blocks.py): k subgrids side by side
+        # with zero separators amortise the 8-sublane round-up of the tiny
+        # subgrid W extents; separator re-zero before each conv keeps the
+        # numerics exactly equal to the per-subgrid lowering
+        km = min(_blocks.get_sgmerge_k(), dilation ** 3)
+        merged = (packed and not train and km > 1
+                  and dilation ** 3 % km == 0)
+        w_sub = x.shape[3]
+        if merged:
+            x = merge_w_subgrids(x, km)
+            _blocks._W_SEP_MASK = w_sep_mask(w_sub, km)
+        try:
+            need_ds = stride != 1 or x.shape[-1] != planes * exp
+            x = block_cls(planes, stride, eff_dil, use_downsample=need_ds,
+                          dtype=self.dtype, shortcut_type=self.shortcut_type,
+                          name=f"{name}_0")(x, train)
+            for i in range(1, blocks):
+                x = block_cls(planes, 1, eff_dil, use_downsample=False,
+                              dtype=self.dtype, name=f"{name}_{i}")(x, train)
+        finally:
+            if merged:
+                _blocks._W_SEP_MASK = None
+        if merged:
+            x = unmerge_w_subgrids(x, km, w_sub)
         if packed:
             x = batch_to_space_3d(x, dilation)
         return x
