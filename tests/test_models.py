@@ -293,6 +293,45 @@ def test_conv3d_lowering_modes_match(rng):
             blocks._os.environ.get("BODYCT_CONV3D_MODE", "direct"))
 
 
+def test_sgmerge_eval_forward_is_exact(rng):
+    """The eval-only subgrid W-merge (layer3/4 subgrids concatenated along
+    W with re-zeroed separator columns, ``blocks.merge_w_subgrids``) must be
+    EXACTLY equal to the per-subgrid s2b lowering — the separator re-zero
+    before every 3^3 conv reproduces the per-subgrid zero padding bit-for-
+    bit, and the param tree is unchanged (merge is a trace-time layout
+    choice, not a model change)."""
+    from bodyct_dram_emph_subtype_tpu.models import blocks
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+
+    model = ResNetSegReg(layers=(1, 1, 1, 1))
+    # 32x64x64: layer3 subgrids (2,4,4)x8, layer4 (1,2,2)x64 — both merge
+    x = jnp.asarray(rng.randn(1, 32, 64, 64, 1).astype(np.float32))
+    lungs = jnp.ones_like(x)
+    try:
+        blocks.set_sgmerge_k(0)
+        variables = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
+        dense_ref, regs_ref = model.apply(variables, x, lungs, train=False)
+        blocks.set_sgmerge_k(8)
+        v2 = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
+        assert (jax.tree_util.tree_structure(v2)
+                == jax.tree_util.tree_structure(variables))
+        dense, regs = model.apply(variables, x, lungs, train=False)
+        np.testing.assert_allclose(np.asarray(dense[0]),
+                                   np.asarray(dense_ref[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(regs[0]),
+                                   np.asarray(regs_ref[0]),
+                                   rtol=1e-5, atol=1e-7)
+        # train mode must ignore the merge flag (BN batch stats would see
+        # separator zeros) — the trace must take the per-subgrid path
+        out = model.apply(variables, x, lungs, train=True,
+                          mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(out[0][1][0])).all()
+    finally:
+        blocks.set_sgmerge_k(
+            int(blocks._os.environ.get("BODYCT_SGMERGE_K", "0")))
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("scopes", ["all", "layer1,layer2,decoder", "none"])
 def test_selective_remat_is_numerics_neutral(scopes):
