@@ -173,10 +173,13 @@ def test_roll_conv_matches_direct(rng):
                                rtol=1e-4, atol=1e-4)
 
     def loss_pl(xp, k):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(roll_conv_packed(xp, k) ** 2)
+        return jnp.sum(roll_conv_packed(xp, k) ** 2)
 
-    g_pl = jax.grad(loss_pl, argnums=(0, 1))(xp, k)
+    # the whole grad call sits inside interpret mode: the custom-VJP bwd
+    # (which now runs the rolling-ring kernel for dgrad) is traced during
+    # the backward pass, outside the forward's trace context
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1))(xp, k)
     g_ref = jax.grad(
         lambda xp, k: jnp.sum(_direct_packed_reference(xp, k) ** 2),
         argnums=(0, 1))(xp, k)
