@@ -11,13 +11,9 @@ round-3 measurements (DEVNOTES):
   misaligned band extraction.  This kernel fixes both:
 
   * **read-once DMA**: grid over (batch, W-tiles); the kernel loops over
-    depth with a 3-slot ring of halo'd planes in VMEM, double-buffering
+    depth with a 4-slot ring of halo'd planes in VMEM, double-buffering
     the next plane's DMA behind the current plane's matmuls.  Each input
     element is fetched from HBM once (plus a small W-tile halo).
-  * **patch cache**: each plane's 3-shift tap patch is built ONCE into a
-    3-slot rolling cache (plus a zero slot for the virtual d=-1/D planes)
-    and reused by the 3 output planes that consume it — 3 VMEM copies per
-    plane instead of 9.
   * **aligned taps**: activations are W-pair packed (``models/packed.py``
     layout, (B,D,H,Wh,2C)) so the three packed W-taps are *whole-lane*
     blocks — the patch build is 3 sublane-shift copies per depth tap, no
@@ -85,12 +81,12 @@ def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
-        ring = 3 * hp * wtp * c2 * itemsize          # DMA landing planes
-        patches = 4 * hp * wt * 3 * c2 * itemsize    # 3-slot cache + zero
+        ring = 5 * hp * wtp * c2 * itemsize
+        patch = hp * wt * 3 * c2 * itemsize
         weights = 9 * 3 * c2 * o2p * itemsize
         acc = 2 * h * wt * o2p * 4
         stage = 2 * h * wt * o2p * itemsize
-        if ring + patches + weights + acc + stage <= vmem_budget:
+        if ring + patch + weights + acc + stage <= vmem_budget:
             return wt
     return None
 
@@ -105,7 +101,7 @@ def supports_roll_conv(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
     return _plan(tuple(shape), kernel_shape[-1], itemsize) is not None
 
 
-def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patches,
+def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patch,
                  stage, in_sems, out_sems, *, D: int, H: int, WT: int,
                  WTP: int, C2: int, O2: int, relu: bool):
     b = pl.program_id(0)
@@ -114,30 +110,18 @@ def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patches,
     w0 = wt_i * WT                     # left halo starts at w0 (padded x)
 
     def in_dma(di):
-        slot = jax.lax.rem(di, 3)
+        slot = jax.lax.rem(di, 4)
         return pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(di, 1), :, pl.ds(w0, WTP)],
             ring.at[pl.ds(slot, 1)], in_sems.at[slot])
 
-    def build_patch(di):
-        # the plane's 3 W-tap shifts, concatenated on lanes — built ONCE
-        # per plane and reused by the 3 output planes that consume it
-        slot = jax.lax.rem(di, 3)
-        plane = ring[pl.ds(slot, 1)][0]                   # (HP, WTP, C2)
-        for p in range(3):
-            patches[pl.ds(slot, 1), :, :, p * C2:(p + 1) * C2] = (
-                plane[:, p:p + WT, :][None])
-
-    # patch slot 3 stays all-zero: the d = -1 / d = D virtual planes
-    patches[pl.ds(3, 1)] = jnp.zeros_like(patches[pl.ds(3, 1)])
+    # ring slot 4 stays all-zero: the d = -1 / d = D virtual planes
+    ring[pl.ds(4, 1)] = jnp.zeros_like(ring[pl.ds(4, 1)])
     in_dma(0).start()
     in_dma(1).start()
-    in_dma(0).wait()
-    build_patch(0)
 
     def loop(dout, carry):
-        # prefetch the plane needed next iteration; build this iteration's
-        # newly-arrived plane into its patch slot
+        # prefetch the plane needed two iterations ahead
         @pl.when(dout + 2 < D)
         def _():
             in_dma(dout + 2).start()
@@ -145,15 +129,20 @@ def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patches,
         @pl.when(dout + 1 < D)
         def _():
             in_dma(dout + 1).wait()
-            build_patch(dout + 1)
+
+        @pl.when(dout == 0)
+        def _():
+            in_dma(0).wait()
 
         acc = jnp.zeros((H * WT, O2), jnp.float32)
         for dd in range(3):
             di = dout + dd - 1
-            slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 3), 3)
-            pat = patches[pl.ds(slot, 1)][0]         # (HP, WT, 3C2)
+            slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
+            plane = ring[pl.ds(slot, 1)][0]          # (HP, WTP, C2)
+            for p in range(3):
+                patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
             for dh in range(3):
-                a = pat[dh:dh + H].reshape(H * WT, 3 * C2)
+                a = patch[pl.ds(dh, H)].reshape(H * WT, 3 * C2)
                 acc = acc + jnp.dot(a, w_ref[dd, dh],
                                     preferred_element_type=jnp.float32)
 
@@ -228,10 +217,10 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((B, D, H, WhP, O2P), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, HP, WTP, C2), xp.dtype),     # DMA landing planes
-            pltpu.VMEM((4, HP, WT, 3 * C2), xp.dtype),  # patch cache + zero
-            pltpu.VMEM((2, H, WT, O2P), xp.dtype),      # out staging
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((5, HP, WTP, C2), xp.dtype),    # plane ring + zero
+            pltpu.VMEM((HP, WT, 3 * C2), xp.dtype),    # tap patch
+            pltpu.VMEM((2, H, WT, O2P), xp.dtype),     # out staging
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
