@@ -98,6 +98,10 @@ def supports_roll_conv(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
         return False
     if shape[-1] != 2 * kernel_shape[3]:
         return False
+    if shape[-1] % 128:
+        # sub-lane-tile packed inputs (e.g. the us3 32-out conv's dgrad,
+        # 2*32 = 64 lanes) fail Mosaic compile — keep them on XLA
+        return False
     return _plan(tuple(shape), kernel_shape[-1], itemsize) is not None
 
 
