@@ -152,21 +152,25 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
 
 
 def bench_train(jax, jnp):
-    """bf16 remat+donated dRAM train step.  Best measured config first:
-    B=4, W-pair packed decoder (no bf16 lane padding on activations),
-    selective remat (recompute only the large stem-/half-res activations;
-    keep the FLOP-heavy small-activation layer3/4 in HBM — ``remat_scopes``
-    in ``models/resnet3d.py``), falling back toward blanket remat and
-    smaller batch on OOM."""
-    from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
+    """bf16 remat+donated dRAM train step.  Best measured config first
+    (DEVNOTES round-3): B=4, W-pair packed decoder, conv mode 'roll' (the
+    rolling-ring kernel serves the packed decoder forward AND its Pallas
+    dgrad — 762 vs 893 ms/step), selective remat (recompute only the large
+    stem-/half-res activations; keep the FLOP-heavy small-activation
+    layer3/4 in HBM — ``remat_scopes`` in ``models/resnet3d.py``), falling
+    back toward the XLA lowering, blanket remat and smaller batch on OOM."""
+    from bodyct_dram_emph_subtype_tpu.models import blocks, get_model_by_name
     from bodyct_dram_emph_subtype_tpu.train import (
         TrainState, make_optimizer, make_reg_train_step)
 
     attempts = []
-    for batch, packed, remat in ((4, True, "layer1,layer2,decoder"),
-                                 (4, True, True), (4, False, True),
-                                 (2, False, True)):
+    for batch, packed, remat, mode in (
+            (4, True, "layer1,layer2,decoder", "roll"),
+            (4, True, "layer1,layer2,decoder", "direct"),
+            (4, True, True, "direct"), (4, False, True, "direct"),
+            (2, False, True, "direct")):
         try:
+            blocks.set_conv3d_mode(mode)
             model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
                                       remat=remat, packed_decoder=packed)
             x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
@@ -205,7 +209,7 @@ def bench_train(jax, jnp):
             # the failure per config so a genuine crash in the packed /
             # donated path is distinguishable from an OOM fallback
             attempts.append({"batch": batch, "packed": packed,
-                             "remat": str(remat),
+                             "remat": str(remat), "conv_mode": mode,
                              "error": type(e).__name__})
             continue
     return 0.0, 0, 0.0, 0.0, attempts
@@ -323,9 +327,8 @@ def main():
 
     if not args.skip_train:
         try:
-            # training keeps the XLA lowering (pallas fwd pairs with an XLA
-            # backward anyway; remat prefers one program shape)
-            blocks.set_conv3d_mode("direct")
+            # bench_train picks its own conv mode per config ('roll' first:
+            # rolling-ring fwd + Pallas dgrad, 762 vs 893 ms/step measured)
             tput, tb, tms, tms_median, attempts = bench_train(jax, jnp)
             result.update(train_vols_per_sec_per_chip=round(tput / n_dev, 2),
                           train_batch=tb, train_ms_per_step=round(tms, 1),

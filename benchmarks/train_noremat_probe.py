@@ -26,10 +26,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
 
-    from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
+    from bodyct_dram_emph_subtype_tpu.models import blocks, get_model_by_name
     from bodyct_dram_emph_subtype_tpu.train import (
         TrainState, make_optimizer, make_reg_train_step)
     from bodyct_dram_emph_subtype_tpu.train.steps import _augment_batch
+    blocks.set_conv3d_mode("roll")   # measured 762 vs 893 ms with remat
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, *TARGET).astype(np.float32))
