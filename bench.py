@@ -152,19 +152,20 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
 
 
 def bench_train(jax, jnp):
-    """bf16 remat+donated dRAM train step.  Best measured config first
-    (DEVNOTES round-3): B=4, W-pair packed decoder, conv mode 'roll' (the
+    """bf16 donated dRAM train step.  Best measured config first (DEVNOTES
+    round-3): B=4, W-pair packed decoder, conv mode 'roll' (the
     rolling-ring kernel serves the packed decoder forward AND its Pallas
-    dgrad — 762 vs 893 ms/step), selective remat (recompute only the large
-    stem-/half-res activations; keep the FLOP-heavy small-activation
-    layer3/4 in HBM — ``remat_scopes`` in ``models/resnet3d.py``), falling
-    back toward the XLA lowering, blanket remat and smaller batch on OOM."""
+    dgrad), NO remat — the packed decoder's lane-padding-free activations
+    fit HBM at B=4, so all recompute disappears: 691.6 ms/step vs 762
+    selective-remat vs 893 with the XLA lowering.  Falls back toward
+    selective/blanket remat, the XLA lowering and smaller batch on OOM."""
     from bodyct_dram_emph_subtype_tpu.models import blocks, get_model_by_name
     from bodyct_dram_emph_subtype_tpu.train import (
         TrainState, make_optimizer, make_reg_train_step)
 
     attempts = []
     for batch, packed, remat, mode in (
+            (4, True, False, "roll"),
             (4, True, "layer1,layer2,decoder", "roll"),
             (4, True, "layer1,layer2,decoder", "direct"),
             (4, True, True, "direct"), (4, False, True, "direct"),
