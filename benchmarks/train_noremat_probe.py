@@ -63,7 +63,7 @@ def main():
     sargs = (jnp.asarray(1e-4), jnp.ones(6) / 6, jnp.ones(3) / 3,
              jax.random.PRNGKey(1))
 
-    for remat in (False, "decoder"):
+    for remat in (False,):
         try:
             model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
                                       remat=remat, packed_decoder=True)

@@ -52,9 +52,30 @@ def _axis_taps_linear(coords: jax.Array, in_size: int):
     return (i0c, w0 * v0), (i1c, w1 * v1)
 
 
+def _tap_matrix_linear(coords: jax.Array, in_size: int) -> jax.Array:
+    """Dense (out, in) linear-interp matrix from dynamic coords: row i holds
+    the two corner weights at columns i0/i1 (zero-padded out of bounds).
+    Matches :func:`_axis_taps_linear` exactly."""
+    j = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    (i0, w0), (i1, w1) = _axis_taps_linear(coords, in_size)
+    return (w0[:, None] * (j == i0[:, None])
+            + w1[:, None] * (j == i1[:, None])).astype(jnp.float32)
+
+
+def _tap_matrix_nearest(coords: jax.Array, in_size: int) -> jax.Array:
+    """Dense (out, in) one-hot nearest matrix (round-half-to-even, zeros
+    out of bounds) from dynamic coords."""
+    j = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    idx = jnp.round(coords).astype(jnp.int32)
+    valid = (idx >= 0) & (idx <= in_size - 1)
+    idxc = jnp.clip(idx, 0, in_size - 1)
+    return ((j == idxc[:, None]) & valid[:, None]).astype(jnp.float32)
+
+
 def axis_aligned_grid_sample(vol: jax.Array, box01: jax.Array,
                              out_sizes: Sequence[int], mode: str,
-                             align_corners: bool) -> jax.Array:
+                             align_corners: bool,
+                             via: str = "gather") -> jax.Array:
     """Sample an axis-aligned normalized box from ``vol`` (trailing dims spatial).
 
     ``box01``: (ndim, 2) array of (start, stop) fractions of each spatial dim,
@@ -72,6 +93,18 @@ def axis_aligned_grid_sample(vol: jax.Array, box01: jax.Array,
         b0, b1 = box01[k, 0], box01[k, 1]
         norm = t * (b1 - b0) + (b0 + b1 - 1.0)
         coords = _unnormalize(norm, in_size, align_corners)
+        if via == "matmul":
+            # MXU path for dynamic (traced) boxes: per-axis tensordot
+            # against a dense tap matrix — the augmentation hot path
+            # (full-volume gathers are the slowest part of the fused
+            # device augmentation; DEVNOTES round 3)
+            m = (_tap_matrix_linear(coords, in_size) if mode == "bilinear"
+                 else _tap_matrix_nearest(coords, in_size))
+            out = jnp.tensordot(out.astype(jnp.float32), m,
+                                axes=([axis], [1]),
+                                precision=jax.lax.Precision.HIGHEST)
+            out = jnp.moveaxis(out, -1, axis)
+            continue
         if mode == "bilinear":
             (i0, w0), (i1, w1) = _axis_taps_linear(coords, in_size)
             bshape = [1] * out.ndim
@@ -92,7 +125,8 @@ def axis_aligned_grid_sample(vol: jax.Array, box01: jax.Array,
 
 
 def crop_and_resize(vol: jax.Array, crop_center: jax.Array, crop_size: jax.Array,
-                    is_mask: bool, align_corners: bool = True) -> jax.Array:
+                    is_mask: bool, align_corners: bool = True,
+                    via: str = "gather") -> jax.Array:
     """The reference ``CropAndResize`` on one (D,H,W) volume.
 
     ``crop_center``/``crop_size`` are per-axis fractions; the integer box
@@ -111,10 +145,11 @@ def crop_and_resize(vol: jax.Array, crop_center: jax.Array, crop_size: jax.Array
     box01 = jnp.stack([lo / shape, hi / shape], axis=-1)
     if is_mask:
         out = axis_aligned_grid_sample(vol.astype(jnp.float32), box01, vol.shape,
-                                       mode="nearest", align_corners=False)
+                                       mode="nearest", align_corners=False,
+                                       via=via)
     else:
         out = axis_aligned_grid_sample(vol, box01, vol.shape, mode="bilinear",
-                                       align_corners=align_corners)
+                                       align_corners=align_corners, via=via)
     # reference casts back to the input dtype after sampling
     # (spatial_transforms.py:190)
     return out.astype(vol.dtype)

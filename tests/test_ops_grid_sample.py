@@ -78,3 +78,25 @@ def test_general_grid_sample_matches_torch(rng):
     got = np.asarray(grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid),
                                     mode="bilinear", align_corners=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_crop_resize_matmul_path_matches_gather(rng):
+    """The MXU tap-matrix path (via='matmul', the fused-augmentation hot
+    path) must reproduce the gather/lerp path: images to float tolerance,
+    masks exactly (one-hot rows select identical taps)."""
+    vol = rng.randn(12, 18, 14).astype(np.float32)
+    mask = (rng.rand(12, 18, 14) > 0.5).astype(np.float32)
+    for center, size in (((0.47, 0.52, 0.5), (0.95, 0.98, 1.0)),
+                         ((0.5, 0.45, 0.55), (0.96, 1.0, 0.95))):
+        c = jnp.asarray(center, jnp.float32)
+        s = jnp.asarray(size, jnp.float32)
+        want = np.asarray(crop_and_resize(jnp.asarray(vol), c, s,
+                                          is_mask=False))
+        got = np.asarray(crop_and_resize(jnp.asarray(vol), c, s,
+                                         is_mask=False, via="matmul"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        want_m = np.asarray(crop_and_resize(jnp.asarray(mask), c, s,
+                                            is_mask=True))
+        got_m = np.asarray(crop_and_resize(jnp.asarray(mask), c, s,
+                                           is_mask=True, via="matmul"))
+        np.testing.assert_array_equal(got_m, want_m)
