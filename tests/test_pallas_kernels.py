@@ -129,11 +129,15 @@ def test_roll_conv_matches_direct(rng):
         _direct_packed_reference, _roll_conv_impl, roll_conv_packed,
         supports_roll_conv)
 
-    # single tile
+    # single tile; tiny channels keep interpret mode fast, so the shape
+    # sits below the 128-lane deployment gate (sub-lane-tile packed inputs
+    # fail Mosaic on real hardware — us3's dgrad) and the impl is driven
+    # directly
     x = jnp.asarray(rng.randn(2, 5, 6, 16, 4).astype(np.float32))
     k = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32))
     xp = pack_w(x)
-    assert supports_roll_conv(xp.shape, k.shape, 4)
+    assert not supports_roll_conv(xp.shape, k.shape, 4)
+    assert supports_roll_conv((4, 64, 112, 72, 128), (3, 3, 3, 64, 64))
     ref = _direct_packed_reference(xp, k)
     with pltpu.force_tpu_interpret_mode():
         out = roll_conv_packed(xp, k)
@@ -154,7 +158,6 @@ def test_roll_conv_matches_direct(rng):
     x3 = jnp.asarray(rng.randn(1, 4, 6, 36, 4).astype(np.float32))
     k3 = jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32))
     xp3 = pack_w(x3)
-    assert supports_roll_conv(xp3.shape, k3.shape, 4)
     ref3 = _direct_packed_reference(xp3, k3)
     with pltpu.force_tpu_interpret_mode():
         out3 = _roll_conv_impl(xp3, k3)
@@ -180,6 +183,20 @@ def test_roll_conv_matches_direct(rng):
     # the backward pass, outside the forward's trace context
     with pltpu.force_tpu_interpret_mode():
         g_pl = jax.grad(loss_pl, argnums=(0, 1))(xp, k)
+
+    # full-lane shape so the bwd takes the Pallas dgrad branch (tiny
+    # shapes above fall back to XLA via the 128-lane gate)
+    xl = jnp.asarray(rng.randn(1, 4, 5, 6, 128).astype(np.float32) * 0.1)
+    kl = jnp.asarray(rng.randn(3, 3, 3, 64, 64).astype(np.float32) * 0.05)
+    assert supports_roll_conv(xl.shape, kl.shape, 4)
+    with pltpu.force_tpu_interpret_mode():
+        gl = jax.grad(loss_pl, argnums=(0, 1))(xl, kl)
+    gl_ref = jax.grad(
+        lambda xp, k: jnp.sum(_direct_packed_reference(xp, k) ** 2),
+        argnums=(0, 1))(xl, kl)
+    for a, b in zip(gl, gl_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
     g_ref = jax.grad(
         lambda xp, k: jnp.sum(_direct_packed_reference(xp, k) ** 2),
         argnums=(0, 1))(xp, k)
