@@ -382,7 +382,12 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
     out_pse.mkdir(parents=True, exist_ok=True)
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
-    model = get_model_by_name(model_arch, dtype=dtype)
+    # the bf16 high-throughput mode runs the W-pair packed decoder (same
+    # variable tree as the unpacked twin, so checkpoints are oblivious);
+    # under conv mode 'roll' its convs use the rolling-ring Pallas kernels.
+    # The clinical float32 default keeps the reference-parity lowering.
+    model = get_model_by_name(model_arch, dtype=dtype,
+                              packed_decoder=dtype is not None)
     if mesh is None or isinstance(mesh, (str, MeshSpec)):
         from ..utils.cli import parse_mesh
         spec = parse_mesh(mesh)
