@@ -124,6 +124,55 @@ def axis_aligned_grid_sample(vol: jax.Array, box01: jax.Array,
     return out
 
 
+def _crop_box01(shape: Tuple[int, ...], crop_center: jax.Array,
+                crop_size: jax.Array) -> jax.Array:
+    """The reference ``CropAndResize`` integer box arithmetic
+    (``spatial_transforms.py:170-181``) as a normalized (ndim, 2) box."""
+    shape_f = jnp.asarray(shape, jnp.float32)
+    c = (crop_center * shape_f).astype(jnp.int32)
+    m = (crop_size * shape_f).astype(jnp.int32)
+    lo = jnp.maximum(0, c - m // 2).astype(jnp.float32)
+    hi = jnp.minimum(c + (m - m // 2),
+                     jnp.asarray(shape, jnp.int32)).astype(jnp.float32)
+    return jnp.stack([lo / shape_f, hi / shape_f], axis=-1)
+
+
+def flip_crop_resize(vol: jax.Array, crop_center: jax.Array,
+                     crop_size: jax.Array, flip_axis: jax.Array,
+                     crop_gate: jax.Array, is_mask: bool,
+                     align_corners: bool = True) -> jax.Array:
+    """Conditional per-axis flip THEN gated crop-and-resize, composed into
+    ONE set of per-axis tap-matrix tensordots (the training augmentation's
+    steps 3+4, ``models.py:70-76`` order).
+
+    ``crop(flip(x))`` per axis is ``M @ (P x) = (M P) x`` with ``P`` the
+    reversal permutation — i.e. the tap matrix with its columns reversed —
+    and a disabled crop gate selects the identity matrix, so flips, the
+    crop and both probability gates cost zero extra full-volume passes
+    (the separate ``jnp.flip``+select formulation paid 9 volume passes for
+    the flips alone)."""
+    ndim = vol.ndim
+    box01 = _crop_box01(vol.shape, crop_center, crop_size)
+    out = vol.astype(jnp.float32)
+    for axis in range(ndim):
+        in_size = vol.shape[axis]
+        t = _base_grid_1d(in_size)
+        b0, b1 = box01[axis, 0], box01[axis, 1]
+        norm = t * (b1 - b0) + (b0 + b1 - 1.0)
+        if is_mask:
+            coords = _unnormalize(norm, in_size, align_corners=False)
+            m = _tap_matrix_nearest(coords, in_size)
+        else:
+            coords = _unnormalize(norm, in_size, align_corners)
+            m = _tap_matrix_linear(coords, in_size)
+        m = jnp.where(crop_gate, m, jnp.eye(in_size, dtype=jnp.float32))
+        m = jnp.where(flip_axis[axis], m[:, ::-1], m)
+        out = jnp.tensordot(out, m, axes=([axis], [1]),
+                            precision=jax.lax.Precision.HIGHEST)
+        out = jnp.moveaxis(out, -1, axis)
+    return out.astype(vol.dtype)
+
+
 def crop_and_resize(vol: jax.Array, crop_center: jax.Array, crop_size: jax.Array,
                     is_mask: bool, align_corners: bool = True,
                     via: str = "gather") -> jax.Array:
@@ -137,12 +186,7 @@ def crop_and_resize(vol: jax.Array, crop_center: jax.Array, crop_size: jax.Array
     training pipeline, ``models.py:70-74``); masks sample nearest with
     align_corners=False (``spatial_transforms.py:196-197``).
     """
-    shape = jnp.asarray(vol.shape, jnp.float32)
-    c = (crop_center * shape).astype(jnp.int32)
-    m = (crop_size * shape).astype(jnp.int32)
-    lo = jnp.maximum(0, c - m // 2).astype(jnp.float32)
-    hi = jnp.minimum(c + (m - m // 2), jnp.asarray(vol.shape, jnp.int32)).astype(jnp.float32)
-    box01 = jnp.stack([lo / shape, hi / shape], axis=-1)
+    box01 = _crop_box01(vol.shape, crop_center, crop_size)
     if is_mask:
         out = axis_aligned_grid_sample(vol.astype(jnp.float32), box01, vol.shape,
                                        mode="nearest", align_corners=False,

@@ -22,7 +22,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import crop_and_resize
+from ..ops.grid_sample import flip_crop_resize
 from ..ops.intensity import box_cutout, gaussian_additive_noise
 
 MAX_CUTOUT_BOXES = 10
@@ -51,36 +51,25 @@ def _augment_one(image: jax.Array, masks: Tuple[jax.Array, ...],
     valid = (jnp.arange(MAX_CUTOUT_BOXES) < n_boxes) & gates[1]
     image = box_cutout(image, centers, sizes, valid)
 
-    # 3. flip 1-2 random axes (dim=(1,3) quirk: randint(1,3) axes) --------
+    # 3+4. flip 1-2 random axes (dim=(1,3) quirk: randint(1,3) axes), then
+    # crop-and-resize — composed into per-axis tap-matrix tensordots
+    # (flip = reversed matrix columns, disabled crop = identity matrix),
+    # so both stages and their probability gates cost ONE resample instead
+    # of 9 flip passes + a gather crop + selects (DEVNOTES round 3)
     k_na, k_perm = jax.random.split(k_flip)
     n_axes = jax.random.randint(k_na, (), 1, 3)
     perm = jax.random.permutation(k_perm, ndim)
     inv_rank = jnp.argsort(perm)
     flip_axis = (inv_rank < n_axes) & gates[2]
 
-    def flip_all(x):
-        for axis in range(ndim):
-            x = jnp.where(flip_axis[axis], jnp.flip(x, axis=axis), x)
-        return x
-
-    image = flip_all(image)
-    masks = tuple(flip_all(m) for m in masks)
-
-    # 4. crop-and-resize --------------------------------------------------
     k_cc, k_cs = jax.random.split(k_crop)
     center = jax.random.uniform(k_cc, (ndim,), minval=0.45, maxval=0.55)
     size = jax.random.uniform(k_cs, (ndim,), minval=0.95, maxval=1.0)
-    # via='matmul': dense per-axis tap matrices on the MXU instead of
-    # full-volume gathers — the gathers dominated the fused augmentation
-    # (31 ms of the train step; DEVNOTES round 3)
-    cropped = crop_and_resize(image, center, size, is_mask=False,
-                              align_corners=True, via="matmul")
-    image = jnp.where(gates[3], cropped, image)
+    image = flip_crop_resize(image, center, size, flip_axis, gates[3],
+                             is_mask=False, align_corners=True)
     masks = tuple(
-        jnp.where(gates[3],
-                  crop_and_resize(m.astype(jnp.float32), center, size,
-                                  is_mask=True, via="matmul"),
-                  m.astype(jnp.float32))
+        flip_crop_resize(m.astype(jnp.float32), center, size, flip_axis,
+                         gates[3], is_mask=True)
         for m in masks)
     return image, masks
 

@@ -100,3 +100,37 @@ def test_crop_resize_matmul_path_matches_gather(rng):
         got_m = np.asarray(crop_and_resize(jnp.asarray(mask), c, s,
                                            is_mask=True, via="matmul"))
         np.testing.assert_array_equal(got_m, want_m)
+
+
+def test_flip_crop_resize_composes_exactly(rng):
+    """flip_crop_resize (one tap-matrix resample — the augmentation's
+    steps 3+4) must equal the sequential formulation: conditional
+    jnp.flip per axis, then crop_and_resize gated by crop_gate.  Masks
+    exactly, images to float tolerance, across all gate combinations."""
+    from bodyct_dram_emph_subtype_tpu.ops.grid_sample import flip_crop_resize
+
+    vol = rng.randn(10, 14, 12).astype(np.float32)
+    mask = (rng.rand(10, 14, 12) > 0.5).astype(np.float32)
+    center = jnp.asarray((0.47, 0.53, 0.5), jnp.float32)
+    size = jnp.asarray((0.95, 1.0, 0.97), jnp.float32)
+    for flips in ((0, 0, 0), (1, 0, 1), (0, 1, 0), (1, 1, 1)):
+        for crop_gate in (False, True):
+            fa = jnp.asarray(flips, bool)
+            cg = jnp.asarray(crop_gate)
+
+            def seq(v, is_mask):
+                x = jnp.asarray(v)
+                for ax in range(3):
+                    x = jnp.where(fa[ax], jnp.flip(x, axis=ax), x)
+                c = crop_and_resize(x, center, size, is_mask=is_mask)
+                return jnp.where(cg, c, x)
+
+            want = np.asarray(seq(vol, False))
+            got = np.asarray(flip_crop_resize(jnp.asarray(vol), center, size,
+                                              fa, cg, is_mask=False))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"img {flips} {crop_gate}")
+            want_m = np.asarray(seq(mask, True))
+            got_m = np.asarray(flip_crop_resize(jnp.asarray(mask), center,
+                                                size, fa, cg, is_mask=True))
+            np.testing.assert_array_equal(got_m, want_m)
