@@ -123,6 +123,21 @@ def box_cutout(img: jax.Array, centers: jax.Array, sizes: jax.Array,
     m = (sizes * shape).astype(jnp.int32)                   # int(ms * ds)
     starts = jnp.maximum(0, c - m // 2)
     stops = jnp.minimum(c + (m - m // 2), jnp.asarray(img.shape, jnp.int32))
+    if ndim == 3:
+        # separable form: a box is the outer product of three per-axis
+        # indicator vectors, so the union over N boxes is a rank-N
+        # contraction (two small matmuls) instead of N*2*ndim full-volume
+        # compares — exact, since sums of <=N ones stay integral
+        ind = []
+        for axis in range(3):
+            ar = jnp.arange(img.shape[axis], dtype=jnp.int32)[None, :]
+            ind.append(((ar >= starts[:, axis:axis + 1])
+                        & (ar < stops[:, axis:axis + 1]))
+                       .astype(jnp.float32))
+        ind[0] = ind[0] * valid[:, None].astype(jnp.float32)
+        cover = jnp.einsum("bd,bh,bw->dhw", *ind)
+        return jnp.where(cover > 0.5,
+                         jnp.asarray(assign_value, img.dtype), img)
     iotas = [jax.lax.broadcasted_iota(jnp.int32, img.shape, axis)
              for axis in range(ndim)]
     keep = jnp.zeros(img.shape, bool)

@@ -93,6 +93,13 @@ def nearest_gather_1d(x: jax.Array, out_size: int, axis: int, in_size=None) -> j
     """Resample one axis with torch 'nearest' semantics: floor(i * in/out)."""
     if in_size is None:
         in_size = x.shape[axis]
+    if isinstance(in_size, (int, np.integer)) and in_size % out_size == 0:
+        # integer downscale: floor(i * s) == i*s exactly — the gather is a
+        # strided slice (same indices, fuses instead of gathering; the
+        # train loss downsamples masks 2x every step)
+        s = in_size // out_size
+        return jax.lax.slice_in_dim(x, 0, (out_size - 1) * s + 1, s,
+                                    axis=axis)
     in_size_i = jnp.asarray(in_size, jnp.int32)
     i = jnp.arange(out_size, dtype=jnp.float32)
     scale = jnp.asarray(in_size, jnp.float32) / float(out_size)
