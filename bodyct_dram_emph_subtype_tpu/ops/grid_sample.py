@@ -19,10 +19,11 @@ Convention subtleties replicated exactly:
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _base_grid_1d(out_size: int) -> jax.Array:
@@ -140,7 +141,8 @@ def _crop_box01(shape: Tuple[int, ...], crop_center: jax.Array,
 def flip_crop_resize(vol: jax.Array, crop_center: jax.Array,
                      crop_size: jax.Array, flip_axis: jax.Array,
                      crop_gate: jax.Array, is_mask: bool,
-                     align_corners: bool = True) -> jax.Array:
+                     align_corners: bool = True,
+                     out_sizes: Optional[Tuple[int, ...]] = None) -> jax.Array:
     """Conditional per-axis flip THEN gated crop-and-resize, composed into
     ONE set of per-axis tap-matrix tensordots (the training augmentation's
     steps 3+4, ``models.py:70-76`` order).
@@ -150,8 +152,22 @@ def flip_crop_resize(vol: jax.Array, crop_center: jax.Array,
     and a disabled crop gate selects the identity matrix, so flips, the
     crop and both probability gates cost zero extra full-volume passes
     (the separate ``jnp.flip``+select formulation paid 9 volume passes for
-    the flips alone)."""
+    the flips alone).
+
+    ``out_sizes`` (masks only): additionally compose a trailing torch
+    'nearest' downscale (``resize_nearest`` semantics, index
+    ``floor(i*in/out)``) into the SAME tap matrices by row-selection —
+    ``R(Mx) = (R M)x`` with ``R`` a one-hot row selector, so the result is
+    bitwise equal to ``resize_nearest(flip_crop_resize(x), out_sizes)``
+    while the resample emits ``prod(out/in)``× fewer elements.  The train
+    step uses this to produce its half-resolution mask labels directly
+    (the model and losses only ever consume masks at dense-map resolution,
+    ``med3d.py:386``)."""
     ndim = vol.ndim
+    if out_sizes is not None and not is_mask:
+        raise ValueError("out_sizes composition is nearest-only (masks): "
+                         "row-selecting a linear tap matrix is not a linear "
+                         "resize of the output")
     box01 = _crop_box01(vol.shape, crop_center, crop_size)
     out = vol.astype(jnp.float32)
     for axis in range(ndim):
@@ -167,6 +183,12 @@ def flip_crop_resize(vol: jax.Array, crop_center: jax.Array,
             m = _tap_matrix_linear(coords, in_size)
         m = jnp.where(crop_gate, m, jnp.eye(in_size, dtype=jnp.float32))
         m = jnp.where(flip_axis[axis], m[:, ::-1], m)
+        if out_sizes is not None and out_sizes[axis] != in_size:
+            rows = np.minimum(
+                np.floor(np.arange(out_sizes[axis], dtype=np.float64)
+                         * (in_size / out_sizes[axis])).astype(np.int32),
+                in_size - 1)
+            m = m[rows]
         out = jnp.tensordot(out, m, axes=([axis], [1]),
                             precision=jax.lax.Precision.HIGHEST)
         out = jnp.moveaxis(out, -1, axis)

@@ -41,15 +41,36 @@ from ..transforms.batch_augment import _augment_one
 from .state import TrainState, apply_updates, make_optimizer
 
 
-def _augment_batch(images, lungs, ems, key):
+def _augment_batch(images, lungs, ems, key, mask_out_size=None):
     keys = jax.random.split(key, images.shape[0])
 
     def one(img, lung, em, k):
-        img, (lung, em) = _augment_one(img, (lung, em), k)
+        img, (lung, em) = _augment_one(img, (lung, em), k, mask_out_size)
         return img, lung, em
 
     return jax.vmap(one)(images, lungs.astype(jnp.float32),
                          ems.astype(jnp.float32), keys)
+
+
+@functools.lru_cache(maxsize=32)
+def _dense_map_size(model, spatial_shape):
+    """Static (D',H',W') of the model's dense maps for a given input
+    spatial shape (abstract eval, no FLOPs — safe to call at trace time).
+
+    The train losses and the lung-masked pooling only ever consume the
+    masks at this resolution (``med3d.py:386``), so the augmentation can
+    emit them there directly (see ``flip_crop_resize`` out_sizes)."""
+    x = jax.ShapeDtypeStruct((1, *spatial_shape, 1), jnp.float32)
+
+    def fwd(x):
+        v = model.init(jax.random.PRNGKey(0), x, x, train=False)
+        dense, _ = model.apply(v, x, x, train=False)
+        return dense[0]
+
+    try:
+        return tuple(jax.eval_shape(fwd, x).shape[1:4])
+    except Exception:  # pragma: no cover — exotic model: keep full res
+        return None
 
 
 def _forward_train(model, state: TrainState, x, lungs):
@@ -94,7 +115,17 @@ def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
              cle_class_weights, pse_class_weights, key):
         images, lungs, ems = _batch_inputs(batch, fused_input, target_size)
         if augment:
-            images, lungs, ems = _augment_batch(images, lungs, ems, key)
+            # masks are only ever consumed at dense-map resolution (masked
+            # pooling + seg labels), so the augmentation emits them there
+            # directly — bitwise equal to full-res resampling +
+            # resize_nearest, 8x less resample work (shape is static at
+            # trace time, so this composes per compiled input size)
+            mask_out = _dense_map_size(model, tuple(images.shape[1:4]))
+            if mask_out is not None and any(
+                    o > i for o, i in zip(mask_out, images.shape[1:4])):
+                mask_out = None  # never upsample masks early
+            images, lungs, ems = _augment_batch(images, lungs, ems, key,
+                                                mask_out)
         x = _nchw_to_ndhwc(images)
         lungs5 = _nchw_to_ndhwc(lungs.astype(jnp.float32))
         ems5 = _nchw_to_ndhwc(ems.astype(jnp.float32))

@@ -29,8 +29,14 @@ MAX_CUTOUT_BOXES = 10
 
 
 def _augment_one(image: jax.Array, masks: Tuple[jax.Array, ...],
-                 key: jax.Array) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
-    """Apply the training augmentation chain to one (D,H,W) sample."""
+                 key: jax.Array, mask_out_size=None
+                 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Apply the training augmentation chain to one (D,H,W) sample.
+
+    ``mask_out_size``: optional (D',H',W') — emit the masks directly at
+    that resolution by composing the trailing torch-nearest downscale into
+    the flip/crop tap matrices (bitwise equal to resampling at full size
+    and then ``resize_nearest``-ing; see ``flip_crop_resize``)."""
     k_gate, k_noise, k_cut, k_flip, k_crop = jax.random.split(key, 5)
     gates = jax.random.uniform(k_gate, (4,)) < 0.5
     ndim = image.ndim
@@ -69,20 +75,20 @@ def _augment_one(image: jax.Array, masks: Tuple[jax.Array, ...],
                              is_mask=False, align_corners=True)
     masks = tuple(
         flip_crop_resize(m.astype(jnp.float32), center, size, flip_axis,
-                         gates[3], is_mask=True)
+                         gates[3], is_mask=True, out_sizes=mask_out_size)
         for m in masks)
     return image, masks
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("mask_out_size",))
 def batch_augment(images: jax.Array, lung_masks: jax.Array,
-                  em_masks: jax.Array, key: jax.Array
-                  ) -> Dict[str, jax.Array]:
+                  em_masks: jax.Array, key: jax.Array,
+                  mask_out_size=None) -> Dict[str, jax.Array]:
     """Vmapped augmentation over a (B, D, H, W) batch with per-sample keys."""
     keys = jax.random.split(key, images.shape[0])
 
     def one(img, lung, em, k):
-        img, (lung, em) = _augment_one(img, (lung, em), k)
+        img, (lung, em) = _augment_one(img, (lung, em), k, mask_out_size)
         return img, lung, em
 
     img, lung, em = jax.vmap(one)(images,

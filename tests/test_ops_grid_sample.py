@@ -134,3 +134,34 @@ def test_flip_crop_resize_composes_exactly(rng):
             got_m = np.asarray(flip_crop_resize(jnp.asarray(mask), center,
                                                 size, fa, cg, is_mask=True))
             np.testing.assert_array_equal(got_m, want_m)
+
+
+def test_flip_crop_resize_mask_out_sizes_composes_downscale(rng):
+    """out_sizes folds a trailing torch-nearest downscale into the mask
+    resample by tap-matrix row selection — must be BITWISE equal to
+    resampling at full size then resize_nearest (the train step relies on
+    this to emit half-res mask labels directly)."""
+    from bodyct_dram_emph_subtype_tpu.ops.grid_sample import flip_crop_resize
+    from bodyct_dram_emph_subtype_tpu.ops.resize import resize_nearest
+
+    mask = (rng.rand(12, 16, 20) > 0.5).astype(np.float32)
+    center = jnp.asarray((0.46, 0.54, 0.51), jnp.float32)
+    size = jnp.asarray((0.96, 1.0, 0.98), jnp.float32)
+    # divisible halving (the train case) and a non-divisible downscale
+    for out_sizes in ((6, 8, 10), (5, 7, 9), (12, 8, 20)):
+        for flips in ((0, 0, 0), (1, 0, 1)):
+            for crop_gate in (False, True):
+                fa = jnp.asarray(flips, bool)
+                cg = jnp.asarray(crop_gate)
+                full = flip_crop_resize(jnp.asarray(mask), center, size,
+                                        fa, cg, is_mask=True)
+                want = np.asarray(resize_nearest(full, out_sizes, (0, 1, 2)))
+                got = np.asarray(flip_crop_resize(
+                    jnp.asarray(mask), center, size, fa, cg, is_mask=True,
+                    out_sizes=out_sizes))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"{out_sizes} {flips} {crop_gate}")
+    with pytest.raises(ValueError):
+        flip_crop_resize(jnp.asarray(mask), center, size,
+                         jnp.zeros(3, bool), jnp.asarray(True),
+                         is_mask=False, out_sizes=(6, 8, 10))
