@@ -235,6 +235,174 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
     return out
 
 
+def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
+                vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
+    """Pick the W tile for the wgrad kernel (or None).
+
+    Budget: the x plane ring + tap patch of the forward, PLUS a 2-slot g
+    plane ring and the full (3,3,6C,2O) f32 accumulator living in VMEM
+    across the whole grid (revisiting-output pattern)."""
+    b, d, h, wh, c2 = shape
+    o2 = 2 * o
+    hp = h + 2
+    whp = _round_up(wh, 8)
+    acc = 9 * 3 * c2 * o2 * 4
+    if acc > vmem_budget // 2:
+        # us1_conv1-class (6C = 3456 rows): the accumulator alone would
+        # crowd out the pipeline — leave those on XLA
+        return None
+    for wt in (32, 24, 16, 8):
+        if whp % wt:
+            continue
+        wtp = _round_up(wt + 2, 8)
+        ring = 5 * hp * wtp * c2 * itemsize
+        patch = hp * wt * 3 * c2 * itemsize
+        gbuf = 2 * h * wt * o2 * itemsize
+        if ring + patch + gbuf + acc <= vmem_budget:
+            return wt
+    return None
+
+
+def supports_roll_wgrad(shape: Tuple[int, ...],
+                        kernel_shape: Tuple[int, ...],
+                        itemsize: int = 2) -> bool:
+    """``shape`` is the PACKED activation shape (B, D, H, Wh, 2C); the
+    gradient must carry 2*O lanes with O = ``kernel_shape[-1]``."""
+    if tuple(kernel_shape[:3]) != (3, 3, 3):
+        return False
+    if shape[-1] != 2 * kernel_shape[3]:
+        return False
+    if shape[-1] % 128 or (2 * kernel_shape[-1]) % 128:
+        return False                      # sub-lane-tile operands: XLA
+    return _wgrad_plan(tuple(shape), kernel_shape[-1], itemsize) is not None
+
+
+def _wgrad_kernel_body(x_hbm, g_hbm, out_ref, ring, patch, gbuf,
+                       in_sems, g_sems, *, B: int, D: int, H: int, WT: int,
+                       WTP: int, C2: int, O2: int, NW: int):
+    b = pl.program_id(0)
+    wt_i = pl.program_id(1)
+    w0 = wt_i * WT
+
+    @pl.when((b == 0) & (wt_i == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def in_dma(di):
+        slot = jax.lax.rem(di, 4)
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(di, 1), :, pl.ds(w0, WTP)],
+            ring.at[pl.ds(slot, 1)], in_sems.at[slot])
+
+    def g_dma(di):
+        slot = jax.lax.rem(di, 2)
+        return pltpu.make_async_copy(
+            g_hbm.at[b, pl.ds(di, 1), :, pl.ds(w0, WT)],
+            gbuf.at[pl.ds(slot, 1)], g_sems.at[slot])
+
+    ring[pl.ds(4, 1)] = jnp.zeros_like(ring[pl.ds(4, 1)])
+    in_dma(0).start()
+    in_dma(1).start()
+    g_dma(0).start()
+
+    def loop(dout, carry):
+        @pl.when(dout + 2 < D)
+        def _():
+            in_dma(dout + 2).start()
+
+        @pl.when(dout + 1 < D)
+        def _():
+            in_dma(dout + 1).wait()
+            g_dma(dout + 1).start()
+
+        @pl.when(dout == 0)
+        def _():
+            in_dma(0).wait()
+
+        g_dma(dout).wait()
+        gp = gbuf[pl.ds(jax.lax.rem(dout, 2), 1)][0].reshape(H * WT, O2)
+
+        for dd in range(3):
+            di = dout + dd - 1
+            slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
+            plane = ring[pl.ds(slot, 1)][0]          # (HP, WTP, C2)
+            for p in range(3):
+                patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
+            for dh in range(3):
+                a = patch[pl.ds(dh, H)].reshape(H * WT, 3 * C2)
+                out_ref[dd, dh] += jax.lax.dot_general(
+                    a, gp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, D, loop, 0)
+
+
+def roll_conv_wgrad(xp: jax.Array, g: jax.Array,
+                    kernel_shape: Tuple[int, ...],
+                    interpret: bool = False) -> jax.Array:
+    """Weight gradient of the packed stride-1 pad-1 3^3 conv.
+
+    ``xp``: (B, D, H, Wh, 2C) packed input; ``g``: (B, D, H, Wh, 2O) packed
+    cotangent.  Returns the LOGICAL kernel gradient (3, 3, 3, C, O) f32.
+
+    Same rolling-ring schedule as the forward (read-once DMA of x, 2-slot
+    g ring), but each plane contributes nine (H*WT, 6C)^T @ (H*WT, 2O)
+    matmuls into a persistent (3, 3, 6C, 2O) f32 VMEM accumulator
+    (revisiting-output pattern over the whole grid).  The packed-domain
+    accumulator folds back to the logical taps by the forward's parity
+    table: dK[.., dwl, c, o] = sum over output parities oo of
+    A[.., (p+1)*2C + q*C + c, oo*O + o] with 2p + q = dwl + oo - 1 —
+    each (dwl, oo) pair selects exactly one (p, q) block.
+    Reference op: wgrad of ``conv3x3x3`` (``med3d.py:91-100``)."""
+    B, D, H, Wh, C2 = xp.shape
+    C = C2 // 2
+    O = kernel_shape[-1]
+    O2 = 2 * O
+    WT = _wgrad_plan(xp.shape, O, xp.dtype.itemsize)
+    assert WT is not None, "gate with supports_roll_wgrad"
+    WTP = _round_up(WT + 2, 8)
+    WhP = _round_up(Wh, 8)
+
+    wpad_r = (WhP - WT + WTP) - (Wh + 1)
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, wpad_r), (0, 0)))
+    gpad = (jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, WhP - Wh), (0, 0)))
+            if WhP != Wh else g)
+
+    NW = WhP // WT
+    body = functools.partial(_wgrad_kernel_body, B=B, D=D, H=H, WT=WT,
+                             WTP=WTP, C2=C2, O2=O2, NW=NW)
+    acc = pl.pallas_call(
+        body,
+        grid=(B, NW),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((3, 3, 3 * C2, O2),
+                               lambda b, w: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * C2, O2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, H + 2, WTP, C2), xp.dtype),   # x plane ring
+            pltpu.VMEM((H + 2, WT, 3 * C2), xp.dtype),   # tap patch
+            pltpu.VMEM((2, H, WT, O2), xp.dtype),        # g plane ring
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(xpad, gpad)
+
+    # fold the packed parity blocks back onto the logical taps
+    dk = jnp.zeros((3, 3, 3, C, O), jnp.float32)
+    for dwl in range(3):
+        for oo in (0, 1):
+            s = dwl + oo - 1
+            p = (s + 2) // 2 - 1
+            q = (s + 2) % 2
+            r0 = (p + 1) * 2 * C + q * C
+            dk = dk.at[:, :, dwl].add(acc[:, :, r0:r0 + C, oo * O:(oo + 1) * O])
+    return dk
+
+
 def _direct_packed_reference(xp, kernel):
     """Packed-domain reference: unpack -> direct conv -> pack."""
     from ..models.packed import pack_w, unpack_w
@@ -262,14 +430,18 @@ def _bwd(res, g):
     # spatially flipped and I/O-transposed; in the packed domain (pack and
     # unpack are permutations) that is again a packed conv — so the
     # rolling-ring kernel serves its OWN input gradient at full lanes,
-    # instead of the unpacked 64-lane XLA dgrad.  wgrad stays on XLA
-    # (kernel-only grad: XLA emits just the weight-gradient contraction).
+    # instead of the unpacked 64-lane XLA dgrad.  wgrad has its own
+    # rolling-ring kernel (persistent VMEM accumulator) when the operand
+    # lanes qualify; otherwise XLA emits the weight-gradient contraction.
     kt = jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4)
     if supports_roll_conv(g.shape, kt.shape, g.dtype.itemsize):
         dx = _roll_conv_impl(g, kt)
-        dw = jax.grad(lambda k: jnp.sum(
-            (_direct_packed_reference(xp, k) * g).astype(jnp.float32)))(
-                kernel)
+        if supports_roll_wgrad(xp.shape, kernel.shape, xp.dtype.itemsize):
+            dw = roll_conv_wgrad(xp, g, kernel.shape).astype(kernel.dtype)
+        else:
+            dw = jax.grad(lambda k: jnp.sum(
+                (_direct_packed_reference(xp, k) * g).astype(jnp.float32)))(
+                    kernel)
         return dx, dw
     _, vjp = jax.vjp(_direct_packed_reference, xp, kernel)
     return vjp(g)

@@ -257,3 +257,38 @@ def test_flat_conv3d_matches_direct(rng):
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-2)
+
+
+def test_roll_conv_wgrad_matches_xla(rng):
+    """Rolling-ring wgrad kernel (interpret mode) == XLA's weight-gradient
+    contraction of the packed conv, across single- and multi-W-tile plans
+    and batch > 1 (the accumulator must integrate over the whole grid)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.models.packed import pack_w
+    from bodyct_dram_emph_subtype_tpu.ops.roll_conv import (
+        _direct_packed_reference, roll_conv_wgrad, supports_roll_wgrad)
+
+    # deployment gate: full-lane operands qualify, sub-lane ones don't,
+    # us1_conv1-class accumulators (6C rows too big for VMEM) don't
+    assert supports_roll_wgrad((4, 64, 112, 72, 128), (3, 3, 3, 64, 64))
+    assert supports_roll_wgrad((4, 64, 112, 72, 256), (3, 3, 3, 128, 64))
+    assert not supports_roll_wgrad((4, 64, 112, 72, 128), (3, 3, 3, 64, 32))
+    assert not supports_roll_wgrad((4, 32, 56, 36, 1152),
+                                   (3, 3, 3, 576, 64))
+
+    for (b, d, h, w, c, o) in ((2, 4, 5, 12, 64, 64),   # single W tile
+                               (1, 3, 4, 32, 64, 64),   # two W tiles
+                               (2, 3, 4, 20, 64, 64)):  # Wh=10 -> padded
+        x = jnp.asarray(rng.randn(b, d, h, w, c).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.randn(b, d, h, w, o).astype(np.float32) * 0.1)
+        xp, gp = pack_w(x), pack_w(g)
+        dk_ref = jax.grad(lambda k: jnp.sum(
+            _direct_packed_reference(xp, k) * gp))(
+                jnp.zeros((3, 3, 3, c, o), jnp.float32))
+        with pltpu.force_tpu_interpret_mode():
+            dk = roll_conv_wgrad(xp, gp, (3, 3, 3, c, o))
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=f"{(b, d, h, w, c, o)}")
