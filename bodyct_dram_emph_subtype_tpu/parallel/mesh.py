@@ -157,14 +157,17 @@ def shard_batch(mesh: Mesh, batch_tree):
     def put(x):
         x = np.asarray(x)
         sharding = sharding_nd if x.ndim >= 4 else sharding_1d
-        sharding = fit(sharding, x.shape)
         if multiprocess:
             # batch axis spans processes; all other axes are process-local
             # (get_mesh enumerates devices data-major, so each data row's
-            # spatial x model block lives inside one process)
+            # spatial x model block lives inside one process).  Divisibility
+            # is judged on the GLOBAL shape — the local sub-batch is
+            # 1/process_count of the batch dim by construction.
             global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            sharding = fit(sharding, global_shape)
             return jax.make_array_from_process_local_data(sharding, x,
                                                           global_shape)
+        sharding = fit(sharding, x.shape)
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch_tree)
