@@ -67,10 +67,64 @@ def build_roll_weights(kernel: jax.Array) -> jax.Array:
     return out
 
 
+def build_roll_weights_compact(kernel: jax.Array) -> jax.Array:
+    """(3,3,3,C,O) logical kernel -> (3,3, 4C, 2O) compact tap matrices.
+
+    The 6C scheme's weight matrices are half structural zeros (every
+    (p, q) parity block feeds only one output parity).  The p = 0 packed
+    column is the exception: BOTH its q halves feed BOTH output parities
+    (oc0: dw=1 via q0, dw=2 via q1; oc1: dw=0 via q0, dw=1 via q1), so its
+    (2C, 2O) block is fully dense.  The two edge taps (oc0/dw=0 from
+    p=-1 q1 and oc1/dw=2 from p=+1 q0) are lane-rolled into ONE 2C block
+    (see ``_edge_block``), leaving a single 25%-zero (2C, 2O) block.
+    Net: K drops 6C -> 4C at identical logical output — 2/3 the MXU
+    cycles of the 6C form."""
+    _, _, _, c, o = kernel.shape
+    out = jnp.zeros((3, 3, 4 * c, 2 * o), kernel.dtype)
+    # p=0 block (rows 0:2C): dense
+    out = out.at[:, :, 0:c, 0:o].set(kernel[:, :, 1])          # q0 -> oc0
+    out = out.at[:, :, 0:c, o:2 * o].set(kernel[:, :, 0])      # q0 -> oc1
+    out = out.at[:, :, c:2 * c, 0:o].set(kernel[:, :, 2])      # q1 -> oc0
+    out = out.at[:, :, c:2 * c, o:2 * o].set(kernel[:, :, 1])  # q1 -> oc1
+    # edge block (rows 2C:4C): lanes 0:C = p=-1 q1, lanes C:2C = p=+1 q0
+    out = out.at[:, :, 2 * c:3 * c, 0:o].set(kernel[:, :, 0])  # -> oc0
+    out = out.at[:, :, 3 * c:4 * c, o:2 * o].set(kernel[:, :, 2])
+    return out
+
+
+# Patch scheme: 'compact' (K=4C, lane-rolled edge block) when the roll
+# shift qualifies, else the 6C form.  Overridable for A/B probes.
+_PATCH_SCHEME = "auto"
+
+
+def set_roll_patch_scheme(scheme: str) -> None:
+    """'auto' | 'compact' | 'wide' — chip-probe override hook."""
+    global _PATCH_SCHEME
+    assert scheme in ("auto", "compact", "wide")
+    _PATCH_SCHEME = scheme
+
+
+def _compact_ok(c2: int) -> bool:
+    """The edge build lane-rolls by C within a 2C-lane vector: supported
+    cheaply when C is a whole number of 128-lane tiles or exactly half of
+    one (in-tile rotate)."""
+    c = c2 // 2
+    return c == 64 or c % 128 == 0
+
+
+def _use_compact(c2: int) -> bool:
+    if _PATCH_SCHEME == "wide":
+        return False
+    if _PATCH_SCHEME == "compact":
+        return True
+    return _compact_ok(c2)
+
+
 def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
           vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
     """Pick the packed-W tile (WT, divides the 8-rounded Wh) or None."""
     b, d, h, wh, c2 = shape
+    kb = 2 if _use_compact(c2) else 3     # patch K blocks (compact: 4C=2*2C)
     hp = h + 2
     whp = _round_up(wh, 8)           # impl zero-pads Wh up to this
     o2p = max(2 * o, 128)            # impl zero-pads output lanes to >=128
@@ -82,8 +136,8 @@ def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
             continue
         wtp = _round_up(wt + 2, 8)
         ring = 5 * hp * wtp * c2 * itemsize
-        patch = hp * wt * 3 * c2 * itemsize
-        weights = 9 * 3 * c2 * o2p * itemsize
+        patch = hp * wt * kb * c2 * itemsize
+        weights = 9 * kb * c2 * o2p * itemsize
         acc = 2 * h * wt * o2p * 4
         stage = 2 * h * wt * o2p * itemsize
         if ring + patch + weights + acc + stage <= vmem_budget:
@@ -105,9 +159,21 @@ def supports_roll_conv(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
     return _plan(tuple(shape), kernel_shape[-1], itemsize) is not None
 
 
+def _edge_block(plane, WT: int, C2: int):
+    """Compact-scheme edge block: lanes 0:C = p=-1's q1 sub-block, lanes
+    C:2C = p=+1's q0 — ONE lane-roll per source (-C ≡ +C mod 2C) and a
+    lane select, so both odd-parity edge taps ride a single dense-ish
+    (2C, 2O) matmul block instead of two half-zero 2C blocks."""
+    c = C2 // 2
+    pm1 = pltpu.roll(plane[:, 0:WT, :], c, 2)
+    pp1 = pltpu.roll(plane[:, 2:2 + WT, :], c, 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, pm1.shape, 2)
+    return jnp.where(lane < c, pm1, pp1)
+
+
 def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patch,
                  stage, in_sems, out_sems, *, D: int, H: int, WT: int,
-                 WTP: int, C2: int, O2: int, relu: bool):
+                 WTP: int, C2: int, O2: int, relu: bool, KB: int):
     b = pl.program_id(0)
     wt_i = pl.program_id(1)
     HP = H + 2
@@ -143,10 +209,14 @@ def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patch,
             di = dout + dd - 1
             slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
             plane = ring[pl.ds(slot, 1)][0]          # (HP, WTP, C2)
-            for p in range(3):
-                patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
+            if KB == 2:                              # compact: p0 + edge
+                patch[:, :, 0:C2] = plane[:, 1:1 + WT, :]
+                patch[:, :, C2:2 * C2] = _edge_block(plane, WT, C2)
+            else:
+                for p in range(3):
+                    patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
             for dh in range(3):
-                a = patch[pl.ds(dh, H)].reshape(H * WT, 3 * C2)
+                a = patch[pl.ds(dh, H)].reshape(H * WT, KB * C2)
                 acc = acc + jnp.dot(a, w_ref[dd, dh],
                                     preferred_element_type=jnp.float32)
 
@@ -199,7 +269,10 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
     wpad_r = (WhP - WT + WTP) - (Wh + 1)
     xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, wpad_r), (0, 0)))
 
-    w = build_roll_weights(kernel.astype(xp.dtype))   # (3,3,6C,2O)
+    compact = _use_compact(C2)
+    KB = 2 if compact else 3
+    w = (build_roll_weights_compact if compact
+         else build_roll_weights)(kernel.astype(xp.dtype))
     if O2P != O2:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, O2P - O2)))
     if scale is None:
@@ -210,7 +283,7 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
     shift = jnp.pad(shift.astype(jnp.float32), (0, O2P - O2)).reshape(1, O2P)
 
     body = functools.partial(_kernel_body, D=D, H=H, WT=WT, WTP=WTP,
-                             C2=C2, O2=O2P, relu=relu)
+                             C2=C2, O2=O2P, relu=relu, KB=KB)
     out = pl.pallas_call(
         body,
         grid=(B, WhP // WT),
@@ -222,7 +295,7 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, D, H, WhP, O2P), xp.dtype),
         scratch_shapes=[
             pltpu.VMEM((5, HP, WTP, C2), xp.dtype),    # plane ring + zero
-            pltpu.VMEM((HP, WT, 3 * C2), xp.dtype),    # tap patch
+            pltpu.VMEM((HP, WT, KB * C2), xp.dtype),   # tap patch
             pltpu.VMEM((2, H, WT, O2P), xp.dtype),     # out staging
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -243,10 +316,11 @@ def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
     plane ring and the full (3,3,6C,2O) f32 accumulator living in VMEM
     across the whole grid (revisiting-output pattern)."""
     b, d, h, wh, c2 = shape
+    kb = 2 if _use_compact(c2) else 3
     o2 = 2 * o
     hp = h + 2
     whp = _round_up(wh, 8)
-    acc = 9 * 3 * c2 * o2 * 4
+    acc = 9 * kb * c2 * o2 * 4
     if acc > vmem_budget // 2:
         # us1_conv1-class (6C = 3456 rows): the accumulator alone would
         # crowd out the pipeline — leave those on XLA
@@ -256,7 +330,7 @@ def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
             continue
         wtp = _round_up(wt + 2, 8)
         ring = 5 * hp * wtp * c2 * itemsize
-        patch = hp * wt * 3 * c2 * itemsize
+        patch = hp * wt * kb * c2 * itemsize
         gbuf = 2 * h * wt * o2 * itemsize
         if ring + patch + gbuf + acc <= vmem_budget:
             return wt
@@ -279,7 +353,7 @@ def supports_roll_wgrad(shape: Tuple[int, ...],
 
 def _wgrad_kernel_body(x_hbm, g_hbm, out_ref, ring, patch, gbuf,
                        in_sems, g_sems, *, B: int, D: int, H: int, WT: int,
-                       WTP: int, C2: int, O2: int, NW: int):
+                       WTP: int, C2: int, O2: int, NW: int, KB: int):
     b = pl.program_id(0)
     wt_i = pl.program_id(1)
     w0 = wt_i * WT
@@ -326,10 +400,14 @@ def _wgrad_kernel_body(x_hbm, g_hbm, out_ref, ring, patch, gbuf,
             di = dout + dd - 1
             slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
             plane = ring[pl.ds(slot, 1)][0]          # (HP, WTP, C2)
-            for p in range(3):
-                patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
+            if KB == 2:                              # compact: p0 + edge
+                patch[:, :, 0:C2] = plane[:, 1:1 + WT, :]
+                patch[:, :, C2:2 * C2] = _edge_block(plane, WT, C2)
+            else:
+                for p in range(3):
+                    patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
             for dh in range(3):
-                a = patch[pl.ds(dh, H)].reshape(H * WT, 3 * C2)
+                a = patch[pl.ds(dh, H)].reshape(H * WT, KB * C2)
                 out_ref[dd, dh] += jax.lax.dot_general(
                     a, gp, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -370,19 +448,21 @@ def roll_conv_wgrad(xp: jax.Array, g: jax.Array,
             if WhP != Wh else g)
 
     NW = WhP // WT
+    compact = _use_compact(C2)
+    KB = 2 if compact else 3
     body = functools.partial(_wgrad_kernel_body, B=B, D=D, H=H, WT=WT,
-                             WTP=WTP, C2=C2, O2=O2, NW=NW)
+                             WTP=WTP, C2=C2, O2=O2, NW=NW, KB=KB)
     acc = pl.pallas_call(
         body,
         grid=(B, NW),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((3, 3, 3 * C2, O2),
+        out_specs=pl.BlockSpec((3, 3, KB * C2, O2),
                                lambda b, w: (0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * C2, O2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, 3, KB * C2, O2), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((5, H + 2, WTP, C2), xp.dtype),   # x plane ring
-            pltpu.VMEM((H + 2, WT, 3 * C2), xp.dtype),   # tap patch
+            pltpu.VMEM((H + 2, WT, KB * C2), xp.dtype),  # tap patch
             pltpu.VMEM((2, H, WT, O2), xp.dtype),        # g plane ring
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -393,13 +473,24 @@ def roll_conv_wgrad(xp: jax.Array, g: jax.Array,
 
     # fold the packed parity blocks back onto the logical taps
     dk = jnp.zeros((3, 3, 3, C, O), jnp.float32)
-    for dwl in range(3):
-        for oo in (0, 1):
-            s = dwl + oo - 1
-            p = (s + 2) // 2 - 1
-            q = (s + 2) % 2
-            r0 = (p + 1) * 2 * C + q * C
-            dk = dk.at[:, :, dwl].add(acc[:, :, r0:r0 + C, oo * O:(oo + 1) * O])
+    if compact:
+        # invert build_roll_weights_compact: each (K C-block, oc) pair
+        # holds exactly one logical dw; the edge block's cross terms
+        # (rows 2C:3C x oc1, rows 3C:4C x oc0) feed no output and are
+        # simply not read
+        for r0, oo, dwl in ((0, 0, 1), (0, 1, 0), (C, 0, 2), (C, 1, 1),
+                            (2 * C, 0, 0), (3 * C, 1, 2)):
+            dk = dk.at[:, :, dwl].add(
+                acc[:, :, r0:r0 + C, oo * O:(oo + 1) * O])
+    else:
+        for dwl in range(3):
+            for oo in (0, 1):
+                s = dwl + oo - 1
+                p = (s + 2) // 2 - 1
+                q = (s + 2) % 2
+                r0 = (p + 1) * 2 * C + q * C
+                dk = dk.at[:, :, dwl].add(
+                    acc[:, :, r0:r0 + C, oo * O:(oo + 1) * O])
     return dk
 
 

@@ -292,3 +292,39 @@ def test_roll_conv_wgrad_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
                                    rtol=1e-3, atol=1e-3,
                                    err_msg=f"{(b, d, h, w, c, o)}")
+
+
+def test_roll_conv_compact_patch_scheme(rng):
+    """The compact K=4C patch scheme (lane-rolled edge block, 75%-useful
+    weight matrices) must equal the wide K=6C scheme and the direct conv —
+    forward, fused-affine, dgrad and the wgrad fold-back."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from bodyct_dram_emph_subtype_tpu.models.packed import pack_w
+    from bodyct_dram_emph_subtype_tpu.ops import roll_conv as rc
+
+    x = jnp.asarray(rng.randn(1, 4, 6, 16, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32))
+    xp = pack_w(x)
+    ref = rc._direct_packed_reference(xp, k)
+
+    g = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+    dk_ref = jax.grad(lambda kk: jnp.sum(
+        rc._direct_packed_reference(xp, kk) * g))(k)
+
+    outs = {}
+    wgrads = {}
+    try:
+        for scheme in ("wide", "compact"):
+            rc.set_roll_patch_scheme(scheme)
+            with pltpu.force_tpu_interpret_mode():
+                outs[scheme] = rc._roll_conv_impl(xp, k)
+                wgrads[scheme] = rc.roll_conv_wgrad(xp, g, k.shape)
+    finally:
+        rc.set_roll_patch_scheme("auto")
+    for scheme in ("wide", "compact"):
+        np.testing.assert_allclose(np.asarray(outs[scheme]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(wgrads[scheme]),
+                                   np.asarray(dk_ref), rtol=1e-3, atol=1e-3)
