@@ -94,14 +94,21 @@ def _conv1d_same(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(out.reshape(*lead_shape, n), -1, axis)
 
 
-def gaussian_additive_noise(img: jax.Array, key: jax.Array, sigma) -> jax.Array:
+def gaussian_additive_noise(img: jax.Array, key: jax.Array, sigma,
+                            eps: Optional[jax.Array] = None) -> jax.Array:
     """Additive gaussian noise applied in rescaled [0,1] space, then mapped
-    back to the original range (reference ``intensity_transforms.py:163-177``)."""
+    back to the original range (reference ``intensity_transforms.py:163-177``).
+
+    ``eps``: optional pre-drawn N(0,1) field (e.g. a hoisted hardware-RNG
+    batch draw, ``transforms.batch_augment.batch_noise_eps``); when absent
+    the noise comes from ``key`` (threefry)."""
     img = img.astype(jnp.float32)
     d_min = img.min()
     d_range = img.max() - d_min
     rescaled = (img - d_min) / (d_range + 1e-7)
-    noise = sigma * jax.random.normal(key, img.shape, jnp.float32)
+    if eps is None:
+        eps = jax.random.normal(key, img.shape, jnp.float32)
+    noise = sigma * eps
     rescaled = jnp.clip(rescaled + noise, 0.0, 1.0)
     return rescaled * d_range + d_min
 

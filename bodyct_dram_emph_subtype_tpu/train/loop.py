@@ -97,6 +97,10 @@ class TrainerConfig:
     packed_decoder: bool = False         # W-pair packed decoder (models/packed.py):
     # +10% train step speed and less HBM (no bf16 lane padding); numerics
     # equal up to float reassociation
+    noise_rng: str = "threefry"          # augmentation noise epsilon source:
+    # "threefry" (per-sample counter RNG, stream-stable) or "rbg" (one
+    # hoisted XLA RngBitGenerator draw per batch — the TPU hardware fast
+    # path; stream not stable across backends/versions)
 
     @property
     def exp_name(self):
@@ -138,6 +142,9 @@ class SubtypeTrainer:
         self.tx = make_optimizer()
         n_data = self.mesh.shape["data"]
         fused = config.input_pipeline == "device"
+        # trace-time setting: must precede make_*_train_step
+        from ..transforms.batch_augment import set_noise_rng
+        set_noise_rng(config.noise_rng)
         make = make_reg_train_step if self.mode == "reg" else make_cls_train_step
         self._train_step = make(self.model, self.tx, n_data,
                                 fused_input=fused,

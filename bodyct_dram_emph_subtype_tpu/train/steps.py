@@ -37,19 +37,20 @@ from ..losses import (
     weighted_cross_entropy,
 )
 from ..ops.resize import resize_linear_matmul, resize_nearest
-from ..transforms.batch_augment import _augment_one
+from ..transforms.batch_augment import _augment_one, batch_noise_eps
 from .state import TrainState, apply_updates, make_optimizer
 
 
 def _augment_batch(images, lungs, ems, key, mask_out_size=None):
     keys = jax.random.split(key, images.shape[0])
+    eps = batch_noise_eps(key, images.shape)   # None unless noise rng 'rbg'
 
-    def one(img, lung, em, k):
-        img, (lung, em) = _augment_one(img, (lung, em), k, mask_out_size)
+    def one(img, lung, em, k, e):
+        img, (lung, em) = _augment_one(img, (lung, em), k, mask_out_size, e)
         return img, lung, em
 
     return jax.vmap(one)(images, lungs.astype(jnp.float32),
-                         ems.astype(jnp.float32), keys)
+                         ems.astype(jnp.float32), keys, eps)
 
 
 @functools.lru_cache(maxsize=32)

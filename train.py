@@ -63,6 +63,11 @@ def run_training_job():
                              "or a comma list from layer1..layer4,decoder "
                              "(selective remat trades HBM for less "
                              "backward recompute)")
+    parser.add_argument("--noise_rng", default="threefry",
+                        choices=["threefry", "rbg"],
+                        help="augmentation noise source: per-sample threefry"
+                             " (stream-stable) or one batched hardware-RNG"
+                             " draw (TPU fast path)")
     parser.add_argument("--packed_decoder", action="store_true",
                         help="W-pair packed decoder convs: +10%% step speed "
                              "and less HBM on TPU (numerics equal up to "
@@ -88,7 +93,7 @@ def run_training_job():
         compute_dtype=args.compute_dtype, profile=args.profile,
         debug_nans=args.debug_nans, input_pipeline=args.input_pipeline,
         pad_shape=args.pad_shape, packed_decoder=args.packed_decoder,
-        mesh=args.mesh, remat=args.remat)
+        mesh=args.mesh, remat=args.remat, noise_rng=args.noise_rng)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
