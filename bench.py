@@ -60,7 +60,8 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     from bodyct_dram_emph_subtype_tpu.ops.packing import (pack12_host,
                                                           unpack12_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
-    from bodyct_dram_emph_subtype_tpu.ops.resize import resize_linear_matmul
+    from bodyct_dram_emph_subtype_tpu.ops.resize import \
+        resize_linear_matmul_transpose
 
     model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
                               packed_decoder=packed_decoder)
@@ -81,14 +82,18 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
         lungs5 = pre["lung_mask"][..., None]
         ess = pre["em_mask"][..., None]
         dense, regs = model.apply(variables, x, lungs5, train=False)
-        cle = resize_linear_matmul(dense[0], TARGET, (1, 2, 3),
-                                   align_corners=True) * ess
-        pse = resize_linear_matmul(dense[1], TARGET, (1, 2, 3),
-                                   align_corners=True) * ess
+        # percentage math via the adjoint-resize identity (exactly the
+        # deployment predict_packed program, inference/processor.py): the
+        # full-res maps are never materialized on device — deployment
+        # downloads the half-res maps and upsamples during host un-crop
+        half = dense[0].shape[1:4]
+        ess_w = resize_linear_matmul_transpose(ess, half, (1, 2, 3),
+                                               align_corners=True)
         lung_sum = jnp.sum(lungs5, axis=(1, 2, 3, 4))
-        cle_pct = jnp.sum(cle, axis=(1, 2, 3, 4)) / lung_sum
-        pse_pct = jnp.sum(pse, axis=(1, 2, 3, 4)) / lung_sum
-        checksum = jnp.sum(cle) + jnp.sum(pse)  # forces map materialization
+        cle_pct = jnp.sum(dense[0] * ess_w, axis=(1, 2, 3, 4)) / lung_sum
+        pse_pct = jnp.sum(dense[1] * ess_w, axis=(1, 2, 3, 4)) / lung_sum
+        # forces the deployment deliverables (half-res maps) to materialize
+        checksum = jnp.sum(dense[0]) + jnp.sum(dense[1])
         return cle_pct, pse_pct, checksum
 
     def make_host_batch(seed):

@@ -140,7 +140,7 @@ def _cached_predict_packed(model, target_size, pad_shape):
 
     from ..ops.packing import unpack12_device
     from ..ops.preprocess import fused_preprocess
-    from ..ops.resize import resize_linear_matmul
+    from ..ops.resize import resize_linear_matmul_transpose
 
     n_vox_pad = int(np.prod(pad_shape))
 
@@ -157,12 +157,16 @@ def _cached_predict_packed(model, target_size, pad_shape):
         lungs5 = pre["lung_mask"][..., None]
         ess5 = pre["em_mask"][..., None]
         dense, _ = model.apply(state.variables, x, lungs5, train=False)
-        # exact predict-step percentage math (models.py:438-441), reduced
-        # on device so the full-res maps never cross the host link
-        cle_full = resize_linear_matmul(dense[0], target_size, (1, 2, 3),
-                                        align_corners=True) * ess5
-        pse_full = resize_linear_matmul(dense[1], target_size, (1, 2, 3),
-                                        align_corners=True) * ess5
+        # exact predict-step percentage math (models.py:438-441) via the
+        # adjoint-resize identity: sum(resize(d)*ess) == sum(d * Rᵀess),
+        # so the full-res maps are never materialized (the heatmap
+        # upsample happens on the host during un-crop) and the ess
+        # transpose-resize is shared by both maps
+        half = dense[0].shape[1:4]
+        ess_w = resize_linear_matmul_transpose(ess5, half, (1, 2, 3),
+                                               align_corners=True)
+        cle_sum = jnp.sum(dense[0] * ess_w, axis=(1, 2, 3, 4))
+        pse_sum = jnp.sum(dense[1] * ess_w, axis=(1, 2, 3, 4))
         lung_sums = jnp.sum(lungs5, axis=(1, 2, 3, 4))
         em8 = ess5[..., 0].astype(jnp.uint8).reshape(b, -1, 8)
         ess_bits = jnp.sum(
@@ -171,8 +175,8 @@ def _cached_predict_packed(model, target_size, pad_shape):
         return {
             "cle_half": dense[0][..., 0], "pse_half": dense[1][..., 0],
             "ess_bits": ess_bits,
-            "cle_pct": jnp.sum(cle_full, axis=(1, 2, 3, 4)) / lung_sums,
-            "pse_pct": jnp.sum(pse_full, axis=(1, 2, 3, 4)) / lung_sums,
+            "cle_pct": cle_sum / lung_sums,
+            "pse_pct": pse_sum / lung_sums,
         }
 
     return predict_packed

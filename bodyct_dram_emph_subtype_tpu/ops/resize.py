@@ -164,6 +164,33 @@ def resize_linear_matmul(x: jax.Array, out_sizes: Sequence[int],
     return x
 
 
+def resize_linear_matmul_transpose(x: jax.Array, in_sizes: Sequence[int],
+                                   axes: Sequence[int], align_corners: bool
+                                   ) -> jax.Array:
+    """Adjoint of :func:`resize_linear_matmul`: applies ``Rᵀ`` where ``R``
+    is the n-linear interp operator mapping spatial sizes ``in_sizes`` →
+    ``x.shape[axes]``.
+
+    For any ``d`` with spatial sizes ``in_sizes``::
+
+        sum(resize_linear_matmul(d, x.shape[axes], ...) * x)
+            == sum(d * resize_linear_matmul_transpose(x, in_sizes, ...))
+
+    (exactly, up to float reassociation).  This turns "upsample a dense
+    map to full resolution, mask, reduce" into one shared transpose-resize
+    of the mask plus a low-resolution weighted sum — the full-res maps are
+    never materialized (``models.py:438-441`` percentage math)."""
+    for axis, in_size in zip(axes, in_sizes):
+        out_size = x.shape[axis]
+        m = jnp.asarray(_interp_matrix(in_size, out_size, align_corners),
+                        x.dtype)
+        precision = (jax.lax.Precision.HIGHEST
+                     if x.dtype == jnp.float32 else None)
+        x = jnp.tensordot(x, m, axes=([axis], [1]), precision=precision)
+        x = jnp.moveaxis(x, -1, axis)
+    return x
+
+
 def resize_nearest(x: jax.Array, out_sizes: Sequence[int], axes: Sequence[int],
                    in_sizes: Sequence = None) -> jax.Array:
     """N-dim nearest resize over ``axes`` (torch 'nearest' parity)."""

@@ -112,3 +112,20 @@ def test_matmul_resize_matches_gather(rng, align_corners):
     got = np.asarray(resize_linear_matmul(jnp.asarray(x), out, (1, 2, 3),
                                           align_corners))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_matmul_resize_transpose_adjoint(rng, align_corners):
+    """<R d, x> == <d, R^T x>: the percentage-reduction identity used by
+    the deployment predict program (inference/processor.py) and bench."""
+    from bodyct_dram_emph_subtype_tpu.ops.resize import (
+        resize_linear_matmul, resize_linear_matmul_transpose)
+    d = rng.rand(2, 9, 11, 13, 1).astype(np.float32)
+    x = (rng.rand(2, 18, 22, 26, 1) > 0.5).astype(np.float32)
+    up = np.asarray(resize_linear_matmul(jnp.asarray(d), (18, 22, 26),
+                                         (1, 2, 3), align_corners))
+    want = (up * x).sum(axis=(1, 2, 3, 4))
+    w = np.asarray(resize_linear_matmul_transpose(jnp.asarray(x), (9, 11, 13),
+                                                  (1, 2, 3), align_corners))
+    got = (d * w).sum(axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
