@@ -168,15 +168,21 @@ def bench_train(jax, jnp):
     from bodyct_dram_emph_subtype_tpu.train import (
         TrainState, make_optimizer, make_reg_train_step)
 
+    from bodyct_dram_emph_subtype_tpu.ops.roll_conv import \
+        set_roll_patch_scheme
+
     attempts = []
-    for batch, packed, remat, mode in (
-            (4, True, False, "roll"),
-            (4, True, "layer1,layer2,decoder", "roll"),
-            (4, True, "layer1,layer2,decoder", "direct"),
-            (4, True, True, "direct"), (4, False, True, "direct"),
-            (2, False, True, "direct")):
+    for batch, packed, remat, mode, scheme in (
+            (4, True, False, "roll", "auto"),
+            (4, True, False, "roll", "wide"),
+            (4, True, "layer1,layer2,decoder", "roll", "wide"),
+            (4, True, "layer1,layer2,decoder", "direct", "auto"),
+            (4, True, True, "direct", "auto"),
+            (4, False, True, "direct", "auto"),
+            (2, False, True, "direct", "auto")):
         try:
             blocks.set_conv3d_mode(mode)
+            set_roll_patch_scheme(scheme)
             model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
                                       remat=remat, packed_decoder=packed)
             x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
@@ -216,8 +222,10 @@ def bench_train(jax, jnp):
             # donated path is distinguishable from an OOM fallback
             attempts.append({"batch": batch, "packed": packed,
                              "remat": str(remat), "conv_mode": mode,
-                             "error": type(e).__name__})
+                             "scheme": scheme, "error": type(e).__name__})
             continue
+        finally:
+            set_roll_patch_scheme("auto")
     return 0.0, 0, 0.0, 0.0, attempts
 
 
@@ -307,9 +315,27 @@ def main():
     blocks.set_conv3d_mode(args.conv_mode)
 
     n_dev = max(len(jax.devices()), 1)
-    # the roll kernel operates on the W-pair packed decoder layout
-    e2e_samples, compute_samples = bench_inference(
-        jax, jnp, args.schedule, packed_decoder=(args.conv_mode == "roll"))
+    # the roll kernel operates on the W-pair packed decoder layout.
+    # Fallback ladder: if the Pallas path fails on this chip/toolchain
+    # (Mosaic version drift), degrade to the wide patch scheme, then to
+    # the XLA direct lowering, rather than dying with no JSON line.
+    inference_fallbacks = []
+    for mode, scheme in ((args.conv_mode, "auto"),
+                         (args.conv_mode, "wide"), ("direct", "auto")):
+        try:
+            blocks.set_conv3d_mode(mode)
+            from bodyct_dram_emph_subtype_tpu.ops.roll_conv import \
+                set_roll_patch_scheme
+            set_roll_patch_scheme(scheme)
+            e2e_samples, compute_samples = bench_inference(
+                jax, jnp, args.schedule, packed_decoder=(mode == "roll"))
+            args.conv_mode = mode
+            break
+        except Exception as e:  # noqa: BLE001 — try the next lowering
+            inference_fallbacks.append({"conv_mode": mode, "scheme": scheme,
+                                        "error": type(e).__name__})
+            if (mode, scheme) == ("direct", "auto"):
+                raise
 
     # best AND median per metric: the dev tunnel's link throughput swings
     # 2-3x between windows; the median keeps round-over-round comparisons
@@ -330,6 +356,8 @@ def main():
         "model": "med3ddram(resnet34segreg)",
         "conv_mode": args.conv_mode,
     }
+    if inference_fallbacks:
+        result["inference_fallbacks"] = inference_fallbacks
 
     if not args.skip_train:
         try:
