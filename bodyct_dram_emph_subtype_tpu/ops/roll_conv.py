@@ -159,14 +159,27 @@ def supports_roll_conv(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
     return _plan(tuple(shape), kernel_shape[-1], itemsize) is not None
 
 
+def _lane_roll(x, c: int):
+    """Lane-dim roll at any element width.  Mosaic's ``dynamic_rotate`` is
+    only implemented for 32-bit data (bf16 fails to compile on-chip), so
+    narrow dtypes bitcast to i32 first — ``pltpu.bitcast`` packs along the
+    second-minor dim, and a pure lane permutation commutes with any
+    sublane packing, so bitcast⁻¹∘roll∘bitcast ≡ roll on the original."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, c, 2)
+    assert x.shape[-2] % (4 // x.dtype.itemsize) == 0
+    i32 = pltpu.bitcast(x, jnp.int32)
+    return pltpu.bitcast(pltpu.roll(i32, c, 2), x.dtype)
+
+
 def _edge_block(plane, WT: int, C2: int):
     """Compact-scheme edge block: lanes 0:C = p=-1's q1 sub-block, lanes
     C:2C = p=+1's q0 — ONE lane-roll per source (-C ≡ +C mod 2C) and a
     lane select, so both odd-parity edge taps ride a single dense-ish
     (2C, 2O) matmul block instead of two half-zero 2C blocks."""
     c = C2 // 2
-    pm1 = pltpu.roll(plane[:, 0:WT, :], c, 2)
-    pp1 = pltpu.roll(plane[:, 2:2 + WT, :], c, 2)
+    pm1 = _lane_roll(plane[:, 0:WT, :], c)
+    pp1 = _lane_roll(plane[:, 2:2 + WT, :], c)
     lane = jax.lax.broadcasted_iota(jnp.int32, pm1.shape, 2)
     return jnp.where(lane < c, pm1, pp1)
 
