@@ -74,23 +74,62 @@ def build_packed_kernel_k1(k: jax.Array) -> jax.Array:
     return kp
 
 
-@functools.lru_cache(maxsize=2)
-def _s2d_stem_map() -> "np.ndarray":
-    """(343, 512) 0/1 matrix mapping the logical 7^3 stem kernel onto the
-    space-to-depth (4,4,4,8,·) kernel: logical tap ``k`` at output stride 2
-    reads packed offset ``u = floor((k-3)/2)`` parity ``p = (k-3) mod 2``.
-    """
+def _s2d_axis_extent(f: int):
+    """Kernel extent + left offset on one s2d axis with block factor ``f``.
+
+    Output j (0 <= j < f/2) tap k (0..6) reads raw offset r = 2j + k - 3
+    relative to the block start: r in [-3, f+1], so the block-index range
+    floor(r/f) is {-2..1} for f = 2 and {-1..1} for f >= 4."""
+    return (4, 2) if f == 2 else (3, 1)
+
+
+@functools.lru_cache(maxsize=8)
+def _s2d_stem_map(factors=(2, 2, 2)) -> "np.ndarray":
+    """(343, S) 0/1 matrix mapping the logical 7^3 stem kernel onto a
+    space-to-depth (Ed,Eh,Ew, fd*fh*fw, nj*F) kernel for block factors
+    (fd, fh, fw).  The classic (2,2,2) case is the (4,4,4,8,F) mapping
+    (logical tap k reads block offset floor((k-3)/2), parity (k-3) mod 2);
+    larger W/H factors raise the MXU contraction dim Cin = fd*fh*fw from 8
+    to 32/64 at the cost of structurally-zero tap positions (measured
+    tradeoff — see DEVNOTES stem probe)."""
     import numpy as np
-    m = np.zeros((343, 4, 4, 4, 8), np.float32)
-    for kd in range(7):
-        ud, pd = (kd - 3) // 2, (kd - 3) % 2
-        for kh in range(7):
-            uh, ph = (kh - 3) // 2, (kh - 3) % 2
-            for kw in range(7):
-                uw, pw = (kw - 3) // 2, (kw - 3) % 2
-                m[(kd * 7 + kh) * 7 + kw, ud + 2, uh + 2, uw + 2,
-                  pd * 4 + ph * 2 + pw] = 1.0
-    return m.reshape(343, 512)
+    fd, fh, fw = factors
+    (ed, od), (eh, oh), (ew, ow) = map(_s2d_axis_extent, factors)
+    nj = (fd // 2) * (fh // 2) * (fw // 2)
+    m = np.zeros((343, ed, eh, ew, fd * fh * fw, nj), np.float32)
+    for jd in range(fd // 2):
+        for jh in range(fh // 2):
+            for jw in range(fw // 2):
+                jidx = (jd * (fh // 2) + jh) * (fw // 2) + jw
+                for kd in range(7):
+                    rd = 2 * jd + kd - 3
+                    for kh in range(7):
+                        rh = 2 * jh + kh - 3
+                        for kw in range(7):
+                            rw = 2 * jw + kw - 3
+                            cin = ((rd % fd) * fh + rh % fh) * fw + rw % fw
+                            m[(kd * 7 + kh) * 7 + kw,
+                              rd // fd + od, rh // fh + oh, rw // fw + ow,
+                              cin, jidx] = 1.0
+    return m.reshape(343, -1)
+
+
+# s2d block factors for the stem conv.  (2,2,2) is the exact classic
+# mapping; (2,4,4)/(4,4,4) trade structurally-zero taps for 4-8x the MXU
+# contraction depth (Cin 8 -> 32/64) — selected by on-chip measurement.
+_STEM_S2D_FACTORS = (2, 2, 2)
+
+
+def set_stem_s2d_factors(factors) -> None:
+    """Override the stem conv's s2d block factors (chip A/B hook)."""
+    global _STEM_S2D_FACTORS
+    factors = tuple(int(f) for f in factors)
+    assert len(factors) == 3 and all(f in (2, 4, 8) for f in factors)
+    _STEM_S2D_FACTORS = factors
+
+
+def get_stem_s2d_factors():
+    return _STEM_S2D_FACTORS
 
 
 class StemConvS2D(nn.Module):
@@ -123,16 +162,28 @@ class StemConvS2D(nn.Module):
             return conv3d_apply(x, kernel, (2, 2, 2),
                                 ((3, 3), (3, 3), (3, 3)), mode="direct")
         b, d, h, w, _ = x.shape
-        x8 = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2)
-        x8 = x8.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
-            b, d // 2, h // 2, w // 2, 8)
-        m = jnp.asarray(_s2d_stem_map(), dtype)
+        fd, fh, fw = _STEM_S2D_FACTORS
+        if d % fd or h % fh or w % fw:
+            fd, fh, fw = 2, 2, 2          # classic factors gate on evenness
+        (ed, od), (eh, oh), (ew, ow) = map(_s2d_axis_extent, (fd, fh, fw))
+        nj = (fd // 2) * (fh // 2) * (fw // 2)
+        xg = x.reshape(b, d // fd, fd, h // fh, fh, w // fw, fw)
+        xg = xg.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            b, d // fd, h // fh, w // fw, fd * fh * fw)
+        m = jnp.asarray(_s2d_stem_map((fd, fh, fw)), dtype)
         kp = jnp.einsum("ks,ko->so", m,
                         kernel.reshape(343, self.features)).reshape(
-                            4, 4, 4, 8, self.features)
-        return jax.lax.conv_general_dilated(
-            x8, kp, (1, 1, 1), [(2, 1)] * 3,
+                            ed, eh, ew, fd * fh * fw, nj * self.features)
+        y = jax.lax.conv_general_dilated(
+            xg, kp, (1, 1, 1),
+            [(od, ed - 1 - od), (oh, eh - 1 - oh), (ow, ew - 1 - ow)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if nj == 1:
+            return y
+        y = y.reshape(b, d // fd, h // fh, w // fw,
+                      fd // 2, fh // 2, fw // 2, self.features)
+        return y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            b, d // 2, h // 2, w // 2, self.features)
 
 
 def _roll_mode_supported(xp_shape, kernel_shape, itemsize: int) -> bool:
@@ -274,6 +325,45 @@ def packed_stage(conv: PackedConv3, norm: PackedNormWrapper, xp, train: bool):
         return roll_conv_affine_relu(xp.astype(dtype), kernel.astype(dtype),
                                      jnp.tile(mul, 2), jnp.tile(shift, 2))
     return nn.relu(norm(conv(xp), train))
+
+
+def supports_fused_heads(xp_shape, ch: int, n_heads: int,
+                         itemsize: int = 2) -> bool:
+    """Static-shape gate for the us3+heads fused tail (eval, conv mode
+    'roll'): ``xp_shape`` is the PACKED us3 input shape (B, D, H, Wh, 2C)."""
+    from .blocks import get_conv3d_mode
+    if get_conv3d_mode() != "roll":
+        return False
+    b, d, h, wh, c2 = xp_shape
+    if d * h * wh * c2 < _ROLL_MIN_ELEMS:
+        return False
+    from ..ops.roll_conv import supports_roll_heads
+    return supports_roll_heads(xp_shape, (3, 3, 3, c2 // 2, ch), n_heads,
+                               itemsize)
+
+
+def packed_stage_heads(conv: PackedConv3, norm: PackedNormWrapper, xp,
+                       head_w, head_b, interpret: bool = False):
+    """The us3 stage PLUS the 1x1x1 task heads + sigmoid as ONE Pallas
+    pass (eval only; gate with :func:`supports_fused_heads`).
+
+    The 32-channel us3 activation is consumed only by the heads
+    (``med3d.py:226-233``), so the fused kernel never materializes it in
+    HBM — conv, BN affine, ReLU, head matmul, bias and sigmoid all happen
+    in VMEM and only the f32 dense maps (B, D, H, W, n_heads) are written.
+    ``head_w``: (ch, n_heads) logical head weights; ``head_b``: (n_heads,).
+    """
+    ch = conv.features
+    dtype = conv.dtype or xp.dtype
+    kernel, bias = conv(xp, return_params=True)
+    dummy = jnp.zeros((1, 1, 1, 1, 2 * ch), xp.dtype)
+    mul, add = norm(dummy, False, return_affine=True)      # logical (ch,)
+    shift = bias.astype(jnp.float32) * mul + add
+    from ..ops.roll_conv import roll_conv_heads_sigmoid
+    out = roll_conv_heads_sigmoid(xp.astype(dtype), kernel.astype(dtype),
+                                  jnp.tile(mul, 2), jnp.tile(shift, 2),
+                                  head_w, head_b, interpret=interpret)
+    return unpack_w(out)
 
 
 class PackedUpsampleConvBlock(nn.Module):

@@ -146,18 +146,26 @@ class _Decoder(nn.Module):
     packed: bool = False
 
     @nn.compact
-    def __call__(self, x4, x1, stem, train: bool):
+    def __call__(self, x4, x1, stem, train: bool, fused_heads=None):
         do_remat = "decoder" in remat_scopes(self.remat)
         if self.packed:
             from .packed import (PackedConv3, PackedNormWrapper,
                                  PackedUpsampleConvBlock, pack_w,
-                                 packed_stage, unpack_w)
+                                 packed_stage, packed_stage_heads, unpack_w)
             up_cls = (nn.remat(PackedUpsampleConvBlock, static_argnums=(3,))
                       if do_remat else PackedUpsampleConvBlock)
             xup1 = up_cls([64, 64], dtype=self.dtype,
                           name="us1")(x4, x1, train)
             xup2 = up_cls([64, 64], dtype=self.dtype,
                           name="us2")(xup1, stem, train)
+            if fused_heads is not None:
+                # eval tail fusion (caller guarantees kernel support): the
+                # f32 sigmoid dense maps come straight out of the us3 pass
+                hw, hb = fused_heads
+                return packed_stage_heads(
+                    PackedConv3(32, dtype=self.dtype, name="us3_conv"),
+                    PackedNormWrapper(dtype=self.dtype, name="us3_bn"),
+                    pack_w(xup2), hw, hb)
             x = packed_stage(
                 PackedConv3(32, dtype=self.dtype, name="us3_conv"),
                 PackedNormWrapper(dtype=self.dtype, name="us3_bn"),
@@ -200,6 +208,23 @@ class ResNetSegCls(nn.Module):
         return dense_outs, cls_outs
 
 
+class _Conv1ParamTwin(nn.Module):
+    """Parameter twin of a ``conv3d(n, 1, bias=True)`` 1x1x1 head: declares
+    variables with identical names, shapes and initializers as the nn.Conv
+    it stands in for (so checkpoints/torch import see the same tree), but
+    returns the raw (kernel, bias) for the fused-head kernel path."""
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        from .blocks import kaiming_normal_fan_out
+        k = self.param("kernel", kaiming_normal_fan_out,
+                       (1, 1, 1, self.cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ResNetSegReg(nn.Module):
     """dRAM regression variant (``med3d.py:288-388``): sigmoid dense maps +
     lung-masked lesion fractions (CLE, PSE)."""
@@ -215,12 +240,33 @@ class ResNetSegReg(nn.Module):
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
                               self.remat, self.shortcut_type,
                               name="trunk")(x, train)
-        xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder,
-                        name="decoder")(x4, x1, stem, train)
-        dense_outs = [
-            jax.nn.sigmoid(conv3d(1, 1, bias=True, name=f"fc{i}",
-                                  dtype=self.dtype)(xup3).astype(jnp.float32))
-            for i in range(2)]
+        # eval tail fusion: us3+BN+ReLU+heads+sigmoid in one Pallas pass
+        # (models/packed.py::packed_stage_heads).  Decided from the STATIC
+        # input shape so both branches declare the identical variable tree.
+        from .packed import supports_fused_heads
+        b, d, h, w = x.shape[:4]
+        itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+        fuse = (not train and self.packed_decoder
+                and d % 2 == 0 and h % 2 == 0 and w % 4 == 0
+                and supports_fused_heads((b, d // 2, h // 2, w // 4, 128),
+                                         32, 2, itemsize))
+        if fuse:
+            heads = [_Conv1ParamTwin(1, 32, name=f"fc{i}")()
+                     for i in range(2)]
+            hw = jnp.concatenate([k.reshape(32, 1) for k, _ in heads], -1)
+            hb = jnp.concatenate([bb for _, bb in heads])
+            dense = _Decoder(self.dtype, self.remat, self.packed_decoder,
+                             name="decoder")(x4, x1, stem, train,
+                                             fused_heads=(hw, hb))
+            dense_outs = [dense[..., 0:1], dense[..., 1:2]]
+        else:
+            xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder,
+                            name="decoder")(x4, x1, stem, train)
+            dense_outs = [
+                jax.nn.sigmoid(
+                    conv3d(1, 1, bias=True, name=f"fc{i}",
+                           dtype=self.dtype)(xup3).astype(jnp.float32))
+                for i in range(2)]
         if lungs is None:
             lungs = jnp.ones(x.shape[:1] + dense_outs[0].shape[1:4] + (1,),
                              jnp.float32)

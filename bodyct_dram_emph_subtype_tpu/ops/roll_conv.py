@@ -321,6 +321,201 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
     return out
 
 
+def _heads_plan(shape: Tuple[int, ...], o: int, itemsize: int,
+                vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
+    """W tile for the heads-fused kernel: same ring/patch/weights as the
+    forward, but the staging buffers hold the f32 head outputs."""
+    b, d, h, wh, c2 = shape
+    kb = 2 if _use_compact(c2) else 3
+    hp = h + 2
+    whp = _round_up(wh, 8)
+    o2p = max(2 * o, 128)
+    for wt in (32, 24, 16, 8):
+        if whp % wt:
+            continue
+        wtp = _round_up(wt + 2, 8)
+        ring = 5 * hp * wtp * c2 * itemsize
+        patch = hp * wt * kb * c2 * itemsize
+        weights = 9 * kb * c2 * o2p * itemsize + 128 * 128 * itemsize
+        acc = 2 * h * wt * o2p * 4
+        stage = 2 * h * wt * 128 * 4
+        if ring + patch + weights + acc + stage <= vmem_budget:
+            return wt
+    return None
+
+
+def supports_roll_heads(shape: Tuple[int, ...],
+                        kernel_shape: Tuple[int, ...],
+                        n_heads: int, itemsize: int = 2) -> bool:
+    """Gate for the conv+affine+ReLU+1x1-heads+sigmoid fused kernel.
+    ``shape`` is the PACKED activation shape (B, D, H, Wh, 2C)."""
+    if tuple(kernel_shape[:3]) != (3, 3, 3):
+        return False
+    if shape[-1] != 2 * kernel_shape[3] or shape[-1] % 128:
+        return False
+    if 2 * n_heads > 128 or shape[1] < 2:
+        return False
+    return _heads_plan(tuple(shape), kernel_shape[-1], itemsize) is not None
+
+
+def _heads_kernel_body(x_hbm, w_ref, scale_ref, shift_ref, hw_ref, hb_ref,
+                       out_hbm, ring, patch, stage, in_sems, out_sems, *,
+                       D: int, H: int, WT: int, WTP: int, C2: int, O2: int,
+                       KB: int):
+    """Forward body + fused head epilogue: the us3 32-channel activation is
+    consumed ONLY by the 1x1x1 task heads (``med3d.py:226-233``), so the
+    fused pass never writes it to HBM — it applies the conv+BN+ReLU, then
+    the packed head matmul + bias + sigmoid in VMEM and stores the f32
+    dense maps (2*n_heads packed lanes, zero-padded to 128)."""
+    b = pl.program_id(0)
+    wt_i = pl.program_id(1)
+    w0 = wt_i * WT
+
+    def in_dma(di):
+        slot = jax.lax.rem(di, 4)
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(di, 1), :, pl.ds(w0, WTP)],
+            ring.at[pl.ds(slot, 1)], in_sems.at[slot])
+
+    ring[pl.ds(4, 1)] = jnp.zeros_like(ring[pl.ds(4, 1)])
+    in_dma(0).start()
+    in_dma(1).start()
+
+    def loop(dout, carry):
+        @pl.when(dout + 2 < D)
+        def _():
+            in_dma(dout + 2).start()
+
+        @pl.when(dout + 1 < D)
+        def _():
+            in_dma(dout + 1).wait()
+
+        @pl.when(dout == 0)
+        def _():
+            in_dma(0).wait()
+
+        acc = jnp.zeros((H * WT, O2), jnp.float32)
+        for dd in range(3):
+            di = dout + dd - 1
+            slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
+            plane = ring[pl.ds(slot, 1)][0]
+            if KB == 2:
+                patch[:, :, 0:C2] = plane[:, 1:1 + WT, :]
+                patch[:, :, C2:2 * C2] = _edge_block(plane, WT, C2)
+            else:
+                for p in range(3):
+                    patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
+            for dh in range(3):
+                a = patch[pl.ds(dh, H)].reshape(H * WT, KB * C2)
+                acc = acc + jnp.dot(a, w_ref[dd, dh],
+                                    preferred_element_type=jnp.float32)
+
+        acc = jnp.maximum(acc * scale_ref[...] + shift_ref[...], 0.0)
+        # head matmul with the unfused path's exact rounding chain: the
+        # activation is rounded to the compute dtype (the stage output the
+        # head conv would read back), the head logit and bias-add round
+        # through the compute dtype (nn.Conv's output dtype), and only the
+        # sigmoid runs in f32 (``resnet3d.py`` dense head)
+        hv = jnp.dot(acc.astype(hw_ref.dtype), hw_ref[...],
+                     preferred_element_type=jnp.float32).astype(hw_ref.dtype)
+        hv = hv + hb_ref[...].astype(hw_ref.dtype)
+        hv = jax.nn.sigmoid(hv.astype(jnp.float32))
+
+        sslot = jax.lax.rem(dout, 2)
+
+        @pl.when(dout >= 2)
+        def _():
+            pltpu.make_async_copy(stage.at[pl.ds(sslot, 1)],
+                                  out_hbm.at[b, pl.ds(dout - 2, 1), :,
+                                             pl.ds(wt_i * WT, WT)],
+                                  out_sems.at[sslot]).wait()
+        stage[pl.ds(sslot, 1)] = hv.reshape(1, H, WT, 128)
+        pltpu.make_async_copy(stage.at[pl.ds(sslot, 1)],
+                              out_hbm.at[b, pl.ds(dout, 1), :,
+                                         pl.ds(wt_i * WT, WT)],
+                              out_sems.at[sslot]).start()
+        return carry
+
+    jax.lax.fori_loop(0, D, loop, 0)
+    pltpu.make_async_copy(stage.at[pl.ds((D - 2) % 2, 1)],
+                          out_hbm.at[b, pl.ds(D - 2, 1), :,
+                                     pl.ds(wt_i * WT, WT)],
+                          out_sems.at[(D - 2) % 2]).wait()
+    pltpu.make_async_copy(stage.at[pl.ds((D - 1) % 2, 1)],
+                          out_hbm.at[b, pl.ds(D - 1, 1), :,
+                                     pl.ds(wt_i * WT, WT)],
+                          out_sems.at[(D - 1) % 2]).wait()
+
+
+def roll_conv_heads_sigmoid(xp: jax.Array, kernel: jax.Array,
+                            scale: jax.Array, shift: jax.Array,
+                            head_w: jax.Array, head_b: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """Fused eval tail: ``sigmoid(heads(relu(conv(xp)*scale + shift)))``.
+
+    ``xp``: (B, D, H, Wh, 2C) packed; ``kernel``: (3,3,3,C,O);
+    ``scale``/``shift``: per-packed-channel (2O,) f32 BN+bias folds;
+    ``head_w``: (O, HN) logical 1x1x1 head weights; ``head_b``: (HN,).
+    Returns (B, D, H, Wh, 2*HN) f32 packed sigmoid maps (unpack_w to
+    (B, D, H, W, HN)).  The O-channel activation never touches HBM.
+    Reference tail: ``med3d.py:226-233`` + sigmoid (``models.py:430-450``).
+    """
+    B, D, H, Wh, C2 = xp.shape
+    O = kernel.shape[-1]
+    O2 = 2 * O
+    O2P = max(O2, 128)
+    HN = head_w.shape[-1]
+    WT = _heads_plan(xp.shape, O, xp.dtype.itemsize)
+    assert WT is not None, "gate with supports_roll_heads"
+    WTP = _round_up(WT + 2, 8)
+    WhP = _round_up(Wh, 8)
+    wpad_r = (WhP - WT + WTP) - (Wh + 1)
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, wpad_r), (0, 0)))
+
+    compact = _use_compact(C2)
+    KB = 2 if compact else 3
+    w = (build_roll_weights_compact if compact
+         else build_roll_weights)(kernel.astype(xp.dtype))
+    if O2P != O2:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, O2P - O2)))
+    scale = jnp.pad(scale.astype(jnp.float32), (0, O2P - O2)).reshape(1, O2P)
+    shift = jnp.pad(shift.astype(jnp.float32), (0, O2P - O2)).reshape(1, O2P)
+    # packed head weights: rows (oc*O + c), cols (oc*HN + h) — block
+    # diagonal over the W parity, zero-padded to (O2P, 128)
+    hw = jnp.zeros((O2P, 128), xp.dtype)
+    hwc = head_w.astype(xp.dtype)
+    for oc in (0, 1):
+        hw = hw.at[oc * O:(oc + 1) * O, oc * HN:(oc + 1) * HN].set(hwc)
+    hb = jnp.zeros((1, 128), jnp.float32)
+    for oc in (0, 1):
+        hb = hb.at[0, oc * HN:(oc + 1) * HN].set(head_b.astype(jnp.float32))
+
+    body = functools.partial(_heads_kernel_body, D=D, H=H, WT=WT, WTP=WTP,
+                             C2=C2, O2=O2P, KB=KB)
+    out = pl.pallas_call(
+        body,
+        grid=(B, WhP // WT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, WhP, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, H + 2, WTP, C2), xp.dtype),
+            pltpu.VMEM((H + 2, WT, KB * C2), xp.dtype),
+            pltpu.VMEM((2, H, WT, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(xpad, w, scale, shift, hw, hb)
+    return out[:, :, :, :Wh, :2 * HN]
+
+
 def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
                 vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
     """Pick the W tile for the wgrad kernel (or None).

@@ -189,3 +189,76 @@ def test_s2d_stem_conv_matches_direct(rng):
     np.testing.assert_array_equal(
         np.asarray(mod.apply(v, x_odd)),
         np.asarray(direct(x_odd, v["params"]["kernel"])))
+
+
+def test_fused_heads_model_path_matches_unfused(rng):
+    """The eval tail fusion (us3+BN+ReLU+heads+sigmoid in one Pallas pass,
+    ``resnet3d.py`` fused-heads branch) produces the same dense maps and
+    regressions as the unfused direct path on the same params, and both
+    branches declare the IDENTICAL variable tree (same names, shapes and
+    init values) so checkpoints are interchangeable."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.blocks import set_conv3d_mode
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+
+    x = jnp.asarray(rng.randn(1, 16, 32, 32, 1).astype(np.float32) * 0.2)
+    lungs = jnp.asarray((rng.rand(1, 8, 16, 16, 1) > 0.3).astype(np.float32))
+    m = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    d0, r0 = m.apply(v, x, lungs, train=False)
+
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    try:
+        set_conv3d_mode("roll")
+        packed_mod._ROLL_MIN_ELEMS = 0
+        with pltpu.force_tpu_interpret_mode():
+            d1, r1 = m.apply(v, x, lungs, train=False)
+            v2 = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    finally:
+        set_conv3d_mode("direct")
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(d1[i]), np.asarray(d0[i]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1[i]), np.asarray(r0[i]),
+                                   rtol=1e-4, atol=1e-5)
+    assert jax.tree.structure(v2) == jax.tree.structure(v)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_s2d_stem_factor_variants_match_direct(rng):
+    """Every s2d block-factor variant of the stem conv (Cin 8/32/64 forms)
+    computes the exact same k7 s2 conv, and non-divisible dims fall back
+    to the classic (2,2,2) mapping."""
+    from bodyct_dram_emph_subtype_tpu.models.packed import (
+        StemConvS2D, get_stem_s2d_factors, set_stem_s2d_factors)
+
+    def direct(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2, 2), [(3, 3)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    mod = StemConvS2D(6)
+    x = jnp.asarray(rng.randn(1, 8, 16, 16, 1).astype(np.float32))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    ref = direct(x, v["params"]["kernel"])
+    saved = get_stem_s2d_factors()
+    try:
+        for f in [(2, 4, 4), (4, 4, 4), (2, 2, 8), (4, 4, 2)]:
+            set_stem_s2d_factors(f)
+            np.testing.assert_allclose(np.asarray(mod.apply(v, x)),
+                                       np.asarray(ref),
+                                       rtol=1e-4, atol=1e-5, err_msg=str(f))
+        # dims not divisible by the factors: exact classic fallback
+        set_stem_s2d_factors((4, 4, 4))
+        x2 = jnp.asarray(rng.randn(1, 6, 10, 10, 1).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(mod.apply(v, x2)),
+            np.asarray(direct(x2, v["params"]["kernel"])),
+            rtol=1e-4, atol=1e-5)
+    finally:
+        set_stem_s2d_factors(saved)

@@ -328,3 +328,50 @@ def test_roll_conv_compact_patch_scheme(rng):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(wgrads[scheme]),
                                    np.asarray(dk_ref), rtol=1e-3, atol=1e-3)
+
+
+def test_roll_heads_sigmoid_matches_composition(rng):
+    """Fused us3-tail kernel (conv+affine+ReLU+1x1 heads+bias+sigmoid in
+    one Pallas pass) == the op-by-op composition, across both patch
+    schemes, a multi-tile plan and a non-8-multiple Wh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models.packed import unpack_w
+    from bodyct_dram_emph_subtype_tpu.ops import roll_conv as rc
+
+    C, O, HN = 4, 6, 2
+    k = jnp.asarray(rng.randn(3, 3, 3, C, O).astype(np.float32) * 0.2)
+    sc = jnp.asarray(rng.rand(2 * O).astype(np.float32) + 0.5)
+    sh = jnp.asarray(rng.randn(2 * O).astype(np.float32) * 0.2)
+    hw = jnp.asarray(rng.randn(O, HN).astype(np.float32) * 0.3)
+    hb = jnp.asarray(rng.randn(HN).astype(np.float32) * 0.1)
+
+    def compose(xp):
+        conv = rc._direct_packed_reference(xp, k).astype(jnp.float32)
+        act = jnp.maximum(conv * sc.reshape(1, 1, 1, 1, -1)
+                          + sh.reshape(1, 1, 1, 1, -1), 0.0)
+        logit = jnp.einsum("...c,ch->...h", unpack_w(act), hw,
+                           preferred_element_type=jnp.float32) + hb
+        return jax.nn.sigmoid(logit)
+
+    assert rc.supports_roll_heads((4, 64, 112, 72, 128), (3, 3, 3, 64, 32),
+                                  2)
+    assert not rc.supports_roll_heads((4, 1, 112, 72, 128),
+                                      (3, 3, 3, 64, 32), 2)  # D < 2
+
+    for shape, scheme in [((2, 5, 6, 8, 2 * C), "wide"),
+                          ((2, 5, 6, 8, 2 * C), "compact"),
+                          ((1, 4, 6, 40, 2 * C), "auto"),   # 5 W tiles
+                          ((1, 4, 6, 18, 2 * C), "auto")]:  # padded WhP
+        xp = jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.3)
+        try:
+            rc.set_roll_patch_scheme(scheme)
+            with pltpu.force_tpu_interpret_mode():
+                fused = rc.roll_conv_heads_sigmoid(xp, k, sc, sh, hw, hb)
+        finally:
+            rc.set_roll_patch_scheme("auto")
+        np.testing.assert_allclose(np.asarray(unpack_w(fused)),
+                                   np.asarray(compose(xp)),
+                                   rtol=1e-5, atol=1e-6)
