@@ -409,9 +409,26 @@ class DilatedConv3d(nn.Module):
         return out
 
 
-def max_pool_3d_k3s2p1(x):
+def max_pool_3d_k3s2p1(x, train: bool = False):
     """torch ``MaxPool3d(kernel_size=3, stride=2, padding=1)``
-    (``med3d.py:206``) on NDHWC activations."""
+    (``med3d.py:206``) on NDHWC activations.
+
+    Under conv mode 'roll' (the Pallas perf mode), large EVAL activations
+    route to the plane-streaming kernel (``ops/maxpool_kernel.py``): XLA's
+    ``reduce_window`` measures 10.6 ms at the deployment stem shape
+    against a ~1.5 ms roofline (``benchmarks/tail_probe.py``).  Training
+    keeps the XLA lowering (the kernel is forward-only; reduce_window's
+    select-and-scatter VJP is what the backward needs anyway)."""
+    if _CONV3D_MODE == "roll" and not train:
+        from ..ops.maxpool_kernel import (max_pool_k3s2p1_pallas,
+                                          supports_maxpool_pallas)
+        from . import packed as _packed
+        n = 1
+        for s in x.shape[1:]:
+            n *= s
+        if (n >= _packed._ROLL_MIN_ELEMS
+                and supports_maxpool_pallas(x.shape, x.dtype.itemsize)):
+            return max_pool_k3s2p1_pallas(x)
     return nn.max_pool(x, window_shape=(3, 3, 3), strides=(2, 2, 2),
                        padding=[(1, 1)] * 3)
 

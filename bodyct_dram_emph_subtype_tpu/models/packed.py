@@ -115,9 +115,13 @@ def _s2d_stem_map(factors=(2, 2, 2)) -> "np.ndarray":
 
 
 # s2d block factors for the stem conv.  (2,2,2) is the exact classic
-# mapping; (2,4,4)/(4,4,4) trade structurally-zero taps for 4-8x the MXU
-# contraction depth (Cin 8 -> 32/64) — selected by on-chip measurement.
-_STEM_S2D_FACTORS = (2, 2, 2)
+# mapping; larger factors trade structurally-zero taps for a deeper MXU
+# contraction (Cin 8 -> 32/64).  Chip A/B (benchmarks/stem_probe.py, B=4
+# bf16 at deployment size): (2,2,2) 23.0 ms, (2,4,4) 23.5, (4,4,4) 21.7,
+# (4,4,2) 23.2, (2,2,8) 16.5 — only the W factor (the lane dim) moves the
+# needle; (2,2,8) is the default, with an exact per-axis fallback to 2
+# when a dim is not divisible.
+_STEM_S2D_FACTORS = (2, 2, 8)
 
 
 def set_stem_s2d_factors(factors) -> None:
@@ -162,9 +166,8 @@ class StemConvS2D(nn.Module):
             return conv3d_apply(x, kernel, (2, 2, 2),
                                 ((3, 3), (3, 3), (3, 3)), mode="direct")
         b, d, h, w, _ = x.shape
-        fd, fh, fw = _STEM_S2D_FACTORS
-        if d % fd or h % fh or w % fw:
-            fd, fh, fw = 2, 2, 2          # classic factors gate on evenness
+        fd, fh, fw = (f if s % f == 0 else 2 for f, s in
+                      zip(_STEM_S2D_FACTORS, (d, h, w)))
         (ed, od), (eh, oh), (ew, ow) = map(_s2d_axis_extent, (fd, fh, fw))
         nj = (fd // 2) * (fh // 2) * (fw // 2)
         xg = x.reshape(b, d // fd, fd, h // fh, fh, w // fw, fw)

@@ -74,7 +74,7 @@ class _Trunk(nn.Module):
         x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)
         x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)                               # /2
-        xp = max_pool_3d_k3s2p1(x)                    # /4
+        xp = max_pool_3d_k3s2p1(x, train)             # /4
         x1 = self._layer(xp, 64, self.layers[0], 1, 1, "layer1", train)
         x2 = self._layer(x1, 128, self.layers[1], 2, 1, "layer2", train)
         x3 = self._layer(x2, 256, self.layers[2], 1, 2, "layer3", train)

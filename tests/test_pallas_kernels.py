@@ -375,3 +375,26 @@ def test_roll_heads_sigmoid_matches_composition(rng):
         np.testing.assert_allclose(np.asarray(unpack_w(fused)),
                                    np.asarray(compose(xp)),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_maxpool_kernel_matches_reduce_window(rng):
+    """Plane-streaming max-pool kernel (interpret mode) == XLA
+    reduce_window k3 s2 p1, across shapes with boundary windows."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.ops.maxpool_kernel import (
+        max_pool_k3s2p1_pallas, supports_maxpool_pallas)
+
+    assert supports_maxpool_pallas((4, 64, 112, 144, 64))
+    assert not supports_maxpool_pallas((1, 4, 7, 8, 32))   # odd H
+    assert not supports_maxpool_pallas((1, 4, 8, 10, 32))  # W % 4
+    for shape in [(1, 4, 8, 8, 32), (2, 6, 10, 12, 32), (1, 8, 14, 20, 96)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        ref = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+        with pltpu.force_tpu_interpret_mode():
+            got = max_pool_k3s2p1_pallas(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
