@@ -330,6 +330,60 @@ def packed_stage(conv: PackedConv3, norm: PackedNormWrapper, xp, train: bool):
     return nn.relu(norm(conv(xp), train))
 
 
+class PackedBasicBlock(nn.Module):
+    """W-pair packed twin of ``blocks.BasicBlock`` for the stride-1,
+    dilation-1, identity-shortcut case (the trunk's layer1).  Parameter
+    tree (conv1/bn1/conv2/bn2, logical shapes) matches the unpacked block
+    exactly; the residual add is positionally local because packing is a
+    pure reshape.  Eval mode under conv mode 'roll' fuses conv+BN(+ReLU)
+    into the rolling-ring kernel's epilogue (the second conv keeps the
+    relu for after the residual).  Reference block: ``med3d.py:115-144``.
+    """
+    planes: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xp, train: bool):
+        conv1 = PackedConv3(self.planes, use_bias=False, dtype=self.dtype,
+                            name="conv1")
+        bn1 = PackedNormWrapper(dtype=self.dtype, name="bn1")
+        conv2 = PackedConv3(self.planes, use_bias=False, dtype=self.dtype,
+                            name="conv2")
+        bn2 = PackedNormWrapper(dtype=self.dtype, name="bn2")
+        dtype = self.dtype or xp.dtype
+        kshape = (3, 3, 3, xp.shape[-1] // 2, self.planes)
+        if ((not train) and _roll_mode_supported(
+                xp.shape, kshape, jnp.dtype(dtype).itemsize)):
+            from ..ops.roll_conv import roll_conv_affine_relu
+            dummy = jnp.zeros((1, 1, 1, 1, 2 * self.planes), xp.dtype)
+            k1, _ = conv1(xp, return_params=True)
+            m1, a1 = bn1(dummy, False, return_affine=True)
+            out = roll_conv_affine_relu(xp.astype(dtype), k1.astype(dtype),
+                                        jnp.tile(m1, 2), jnp.tile(a1, 2))
+            k2, _ = conv2(out, return_params=True)
+            m2, a2 = bn2(dummy, False, return_affine=True)
+            out = roll_conv_affine_relu(out[..., :2 * self.planes],
+                                        k2.astype(dtype),
+                                        jnp.tile(m2, 2), jnp.tile(a2, 2),
+                                        relu=False)
+            return nn.relu(out[..., :2 * self.planes]
+                           + xp.astype(out.dtype))
+        out = nn.relu(bn1(conv1(xp), train))
+        out = bn2(conv2(out), train)
+        return nn.relu(out + xp.astype(out.dtype))
+
+
+def supports_packed_layer(xp_shape, planes: int, itemsize: int = 2) -> bool:
+    """Static gate for running a whole residual layer in the packed
+    domain (layer1): conv mode 'roll', min activation size, and kernel
+    support for the packed conv shape."""
+    from .blocks import get_conv3d_mode
+    if get_conv3d_mode() != "roll":
+        return False
+    return _roll_mode_supported(xp_shape, (3, 3, 3, xp_shape[-1] // 2,
+                                           planes), itemsize)
+
+
 def supports_fused_heads(xp_shape, ch: int, n_heads: int,
                          itemsize: int = 2) -> bool:
     """Static-shape gate for the us3+heads fused tail (eval, conv mode

@@ -83,6 +83,29 @@ class _Trunk(nn.Module):
 
     def _layer(self, x, planes, blocks, stride, dilation, name, train):
         exp = self.block.expansion
+        # stride-1 dilation-1 identity-shortcut BasicBlock layers (layer1)
+        # run whole-layer W-pair packed under conv mode 'roll': 64-channel
+        # convs at 128 lanes through the rolling-ring kernel, BN/ReLU/
+        # residual positionally local (models/packed.py::PackedBasicBlock,
+        # identical variable tree).
+        from .packed import (PackedBasicBlock, pack_w, supports_packed_layer,
+                             unpack_w)
+        wpair = (stride == 1 and dilation == 1 and self.block is BasicBlock
+                 and x.shape[-1] == planes * exp and x.shape[3] % 2 == 0)
+        if wpair:
+            xp_shape = x.shape[:3] + (x.shape[3] // 2, 2 * x.shape[-1])
+            wpair = supports_packed_layer(
+                xp_shape, planes,
+                jnp.dtype(self.dtype or x.dtype).itemsize)
+        if wpair:
+            pb_cls = (nn.remat(PackedBasicBlock, static_argnums=(2,))
+                      if name in remat_scopes(self.remat)
+                      else PackedBasicBlock)
+            xp = pack_w(x)
+            for i in range(blocks):
+                xp = pb_cls(planes, dtype=self.dtype,
+                            name=f"{name}_{i}")(xp, train)
+            return unpack_w(xp)
         block_cls = (nn.remat(self.block, static_argnums=(2,))
                      if name in remat_scopes(self.remat) else self.block)
         # Dilated layers run ENTIRELY in the space-to-batch domain when the

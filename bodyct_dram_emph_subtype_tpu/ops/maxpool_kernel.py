@@ -139,9 +139,15 @@ def max_pool_k3s2p1_pallas(x: jax.Array, interpret: bool = False):
     Gate with :func:`supports_maxpool_pallas`."""
     B, D, H, W, C = x.shape
     D2, H2, Wq = D // 2, H // 2, W // 4
-    WoP = _round_up(Wq, 8)
-    xq = x.reshape(B, D, H2, 2, Wq, 4 * C)
-    body = functools.partial(_kernel, D2=D2, H2=H2, Wq=Wq, C=C, WoP=WoP)
+    WqP = _round_up(Wq, 8)
+    if WqP != Wq:
+        # Mosaic DMAs slice the second-minor (quad) dim — it must be
+        # 8-aligned, so pad W with -inf quads (ignored by every max)
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, 4 * (WqP - Wq)), (0, 0)),
+                    constant_values=-jnp.inf)
+    WoP = WqP
+    xq = x.reshape(B, D, H2, 2, WqP, 4 * C)
+    body = functools.partial(_kernel, D2=D2, H2=H2, Wq=WqP, C=C, WoP=WoP)
     out = pl.pallas_call(
         body,
         grid=(B,),
@@ -149,12 +155,15 @@ def max_pool_k3s2p1_pallas(x: jax.Array, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((B, D2, H2, WoP, 2 * C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((5, H2, 2, Wq, 4 * C), x.dtype),
+            pltpu.VMEM((5, H2, 2, WqP, 4 * C), x.dtype),
             pltpu.VMEM((2, H2, WoP, 2 * C), x.dtype),
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # the ring + compute temporaries exceed XLA's conservative 16 MB
+        # scoped-vmem default; the v5e has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(xq)
     out = out[:, :, :, :Wq]

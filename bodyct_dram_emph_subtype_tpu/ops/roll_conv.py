@@ -130,8 +130,11 @@ def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
     o2p = max(2 * o, 128)            # impl zero-pads output lanes to >=128
     # tile sizes are multiples of 8 so every tile's W offset is 8-aligned
     # (Mosaic requires provably tiling-aligned slice starts on the
-    # second-minor dim for both the HBM DMA and the VMEM views)
-    for wt in (32, 24, 16, 8):
+    # second-minor dim for both the HBM DMA and the VMEM views).  48/40
+    # serve the quarter-resolution stages (Wh = 36 -> WhP = 40 as ONE
+    # tile instead of five 8-wide ones) — the deployment half-res shapes
+    # (WhP = 72) keep their 24/8 plans.
+    for wt in (48, 40, 32, 24, 16, 8):
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
@@ -330,7 +333,7 @@ def _heads_plan(shape: Tuple[int, ...], o: int, itemsize: int,
     hp = h + 2
     whp = _round_up(wh, 8)
     o2p = max(2 * o, 128)
-    for wt in (32, 24, 16, 8):
+    for wt in (48, 40, 32, 24, 16, 8):
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
@@ -533,7 +536,7 @@ def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
         # us1_conv1-class (6C = 3456 rows): the accumulator alone would
         # crowd out the pipeline — leave those on XLA
         return None
-    for wt in (32, 24, 16, 8):
+    for wt in (48, 40, 32, 24, 16, 8):
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)

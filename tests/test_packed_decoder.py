@@ -262,3 +262,43 @@ def test_s2d_stem_factor_variants_match_direct(rng):
             rtol=1e-4, atol=1e-5)
     finally:
         set_stem_s2d_factors(saved)
+
+
+def test_packed_layer1_matches_unpacked(rng):
+    """Whole-layer W-pair packed layer1 (PackedBasicBlock, roll mode) ==
+    the unpacked BasicBlock layer on the same params, eval AND train
+    (incl. batch-stats updates), with an identical variable tree."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.blocks import set_conv3d_mode
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+
+    x = jnp.asarray(rng.randn(1, 16, 32, 32, 1).astype(np.float32) * 0.2)
+    lungs = jnp.ones((1, 8, 16, 16, 1), jnp.float32)
+    m = ResNetSegReg(layers=(2, 1, 1, 1), packed_decoder=True)
+    v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    d0, r0 = m.apply(v, x, lungs, train=False)
+    (_, mut0) = m.apply(v, x, lungs, train=True, mutable=["batch_stats"])
+
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    try:
+        set_conv3d_mode("roll")
+        packed_mod._ROLL_MIN_ELEMS = 0
+        with pltpu.force_tpu_interpret_mode():
+            d1, r1 = m.apply(v, x, lungs, train=False)
+            (_, mut1) = m.apply(v, x, lungs, train=True,
+                                mutable=["batch_stats"])
+            v2 = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    finally:
+        set_conv3d_mode("direct")
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(d1[i]), np.asarray(d0[i]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1[i]), np.asarray(r0[i]),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(mut0), jax.tree.leaves(mut1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    assert jax.tree.structure(v2) == jax.tree.structure(v)
