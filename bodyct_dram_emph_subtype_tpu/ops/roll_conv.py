@@ -96,6 +96,20 @@ def build_roll_weights_compact(kernel: jax.Array) -> jax.Array:
 # shift qualifies, else the 6C form.  Overridable for A/B probes.
 _PATCH_SCHEME = "auto"
 
+# VMEM plan budget: how much scratch the tile plans may claim.  11 MB was
+# tuned against XLA's default 16 MB scoped-vmem limit; the pallas_calls
+# now raise the scoped limit to 32 MB, and the 18 MB budget moves
+# us2_conv1 (and the fused-heads tail) from WT=8 to WT=24 — measured
+# -1.1 ms on the full forward (benchmarks/fwd_r3c_probe.py); every other
+# plan (incl. wgrad/dgrad) is unchanged at this budget.
+_VMEM_BUDGET = 18 * 1024 * 1024
+
+
+def set_roll_vmem_budget(n: int) -> None:
+    """Override the tile-plan VMEM budget (chip A/B hook)."""
+    global _VMEM_BUDGET
+    _VMEM_BUDGET = int(n)
+
 
 def set_roll_patch_scheme(scheme: str) -> None:
     """'auto' | 'compact' | 'wide' — chip-probe override hook."""
@@ -121,8 +135,10 @@ def _use_compact(c2: int) -> bool:
 
 
 def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
-          vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
+          vmem_budget: Optional[int] = None) -> Optional[int]:
     """Pick the packed-W tile (WT, divides the 8-rounded Wh) or None."""
+    if vmem_budget is None:
+        vmem_budget = _VMEM_BUDGET
     b, d, h, wh, c2 = shape
     kb = 2 if _use_compact(c2) else 3     # patch K blocks (compact: 4C=2*2C)
     hp = h + 2
@@ -316,7 +332,8 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(xpad, w, scale, shift)
     if WhP != Wh or O2P != O2:
@@ -325,9 +342,11 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
 
 
 def _heads_plan(shape: Tuple[int, ...], o: int, itemsize: int,
-                vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
+                vmem_budget: Optional[int] = None) -> Optional[int]:
     """W tile for the heads-fused kernel: same ring/patch/weights as the
     forward, but the staging buffers hold the f32 head outputs."""
+    if vmem_budget is None:
+        vmem_budget = _VMEM_BUDGET
     b, d, h, wh, c2 = shape
     kb = 2 if _use_compact(c2) else 3
     hp = h + 2
@@ -513,19 +532,22 @@ def roll_conv_heads_sigmoid(xp: jax.Array, kernel: jax.Array,
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(xpad, w, scale, shift, hw, hb)
     return out[:, :, :, :Wh, :2 * HN]
 
 
 def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
-                vmem_budget: int = 11 * 1024 * 1024) -> Optional[int]:
+                vmem_budget: Optional[int] = None) -> Optional[int]:
     """Pick the W tile for the wgrad kernel (or None).
 
     Budget: the x plane ring + tap patch of the forward, PLUS a 2-slot g
     plane ring and the full (3,3,6C,2O) f32 accumulator living in VMEM
     across the whole grid (revisiting-output pattern)."""
+    if vmem_budget is None:
+        vmem_budget = _VMEM_BUDGET
     b, d, h, wh, c2 = shape
     kb = 2 if _use_compact(c2) else 3
     o2 = 2 * o
@@ -678,7 +700,8 @@ def roll_conv_wgrad(xp: jax.Array, g: jax.Array,
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(xpad, gpad)
 
