@@ -60,47 +60,67 @@ def _interp_matrix_dynamic(pad_in: int, out_size: int, in_size,
             + (rows == i1[None, :]) * w[None, :])
 
 
-def _resize_sample(vol, in_sizes, target_size, is_mask: bool):
-    d_new, h_new, w_new = target_size
+def _resize_plane_hw(vol, in_sizes, h_new, w_new, is_mask: bool):
     if is_mask:
+        # nearest resampling is dtype-exact: gather masks at 1 byte/voxel
+        # (4x less HBM traffic than the f32 form), cast after the crop
+        assert vol.dtype == jnp.uint8, vol.dtype
         out = nearest_gather_1d(vol, h_new, -2, in_sizes[1])
-        out = nearest_gather_1d(out, w_new, -1, in_sizes[2])
-    else:
-        # MXU path: bilinear in-plane resize as two interp-matrix matmuls
-        mh = _interp_matrix_dynamic(vol.shape[-2], h_new, in_sizes[1])
-        mw = _interp_matrix_dynamic(vol.shape[-1], w_new, in_sizes[2])
-        prec = (jax.lax.Precision.HIGHEST if vol.dtype == jnp.float32
-                else None)
-        out = jnp.tensordot(vol, mh, axes=([-2], [0]),
-                            precision=prec)                # (D, W, Hn)
-        out = jnp.tensordot(out, mw, axes=([-2], [0]),
-                            precision=prec)                # (D, Hn, Wn)
-    idx = depth_linspace_indices(in_sizes[0], d_new)
-    return jnp.take(out, idx, axis=-3)
+        return nearest_gather_1d(out, w_new, -1, in_sizes[2])
+    # MXU path: bilinear in-plane resize as two interp-matrix matmuls
+    mh = _interp_matrix_dynamic(vol.shape[-2], h_new, in_sizes[1])
+    mw = _interp_matrix_dynamic(vol.shape[-1], w_new, in_sizes[2])
+    prec = (jax.lax.Precision.HIGHEST if vol.dtype == jnp.float32
+            else None)
+    out = jnp.tensordot(vol, mh, axes=([-2], [0]),
+                        precision=prec)                # (D, W, Hn)
+    return jnp.tensordot(out, mw, axes=([-2], [0]),
+                         precision=prec)               # (D, Hn, Wn)
 
 
 def preprocess_one(image_i16: jax.Array, lung: jax.Array,
                    in_sizes: jax.Array, target_size: Tuple[int, int, int],
                    em_threshold: float) -> Dict[str, jax.Array]:
-    """One padded (Dp,Hp,Wp) int16 volume → model-ready dict."""
+    """One padded (Dp,Hp,Wp) int16 volume → model-ready dict.
+
+    The depth subsample (nearest over linspace indices) runs FIRST: every
+    per-plane op (window, normalize, em threshold, in-plane resize)
+    commutes exactly with plane selection, so doing it up front cuts the
+    per-voxel work and traffic by D_pad/D_out (~20-25%).  Only the
+    standardization statistics read the full valid volume — and those are
+    pure reductions the windowing fuses into (nothing full-size is ever
+    materialized)."""
+    d_new, h_new, w_new = target_size
     valid = _valid_mask(image_i16.shape, in_sizes)
-    img = image_i16.astype(jnp.float32)
-    em = (img < em_threshold) & (lung > 0) & valid
-    # window → [0,1]
     lo, hi = WINDOW
-    img = (jnp.clip(img, lo, hi) - lo) / (hi - lo)
-    # masked standardize, unbiased std (torch Tensor.std())
+    # masked standardize stats over the FULL valid volume (torch
+    # Tensor.std(), unbiased) — reductions only, fused with the window
+    img_full = (jnp.clip(image_i16.astype(jnp.float32), lo, hi) - lo) \
+        / (hi - lo)
     n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 2.0)
     vf = valid.astype(jnp.float32)
-    mean = jnp.sum(img * vf) / n
-    var = jnp.sum((img - mean) ** 2 * vf) / (n - 1.0)
-    img = (img - mean) * jax.lax.rsqrt(var)
-    out_img = _resize_sample(img, in_sizes, target_size, is_mask=False)
-    out_lung = _resize_sample(lung.astype(jnp.float32), in_sizes, target_size,
-                              is_mask=True)
-    out_em = _resize_sample(em.astype(jnp.float32), in_sizes, target_size,
-                            is_mask=True)
-    return {"image": out_img, "lung_mask": out_lung, "em_mask": out_em}
+    mean = jnp.sum(img_full * vf) / n
+    var = jnp.sum((img_full - mean) ** 2 * vf) / (n - 1.0)
+
+    idx = depth_linspace_indices(in_sizes[0], d_new)
+    img_d = jnp.take(image_i16, idx, axis=0).astype(jnp.float32)
+    lung_d = jnp.take(lung, idx, axis=0)
+    # the taken depth planes are all valid by construction (idx <
+    # in_sizes[0]); only H/W padding needs masking out of the em mask
+    valid_hw = (
+        (jax.lax.broadcasted_iota(jnp.int32, img_d.shape, 1) < in_sizes[1])
+        & (jax.lax.broadcasted_iota(jnp.int32, img_d.shape, 2)
+           < in_sizes[2]))
+    em_d = (img_d < em_threshold) & (lung_d > 0) & valid_hw
+    img = ((jnp.clip(img_d, lo, hi) - lo) / (hi - lo) - mean) \
+        * jax.lax.rsqrt(var)
+    out_img = _resize_plane_hw(img, in_sizes, h_new, w_new, is_mask=False)
+    out_lung = _resize_plane_hw((lung_d > 0).astype(jnp.uint8), in_sizes,
+                                h_new, w_new, is_mask=True)
+    out_em = _resize_plane_hw(em_d.astype(jnp.uint8), in_sizes,
+                              h_new, w_new, is_mask=True)
+    return {"image": out_img, "lung_mask": out_lung.astype(jnp.float32),
+            "em_mask": out_em.astype(jnp.float32)}
 
 
 @functools.partial(jax.jit, static_argnames=("target_size", "em_threshold"))
