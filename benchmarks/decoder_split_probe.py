@@ -66,42 +66,47 @@ def main():
         return f
 
     # baseline: the chain scaffolding on the biggest input
-    xcat = randn(B, *HALF, 256 // 2 * 2)      # placeholder shape
     timed("baseline(add+sum 528MB)", chain(lambda x: x), randn(B, *HALF, 64))
 
-    # us2_conv1: packed roll, C=128 -> 64 @ HALF  (WT=24 plan)
-    xp1 = randn(B, HALF[0], HALF[1], HALF[2] // 2, 256)
-    k1 = randn(3, 3, 3, 128, 64, scale=0.05)
+    import os
+    SKIP = int(os.environ.get("DEC_SKIP", "0"))
+
     sc = jnp.ones((128,), jnp.float32)
     sh = jnp.zeros((128,), jnp.float32)
-    timed("us2_conv1 roll", chain(
-        lambda x: roll_conv_affine_relu(x, k1, sc, sh)), xp1)
-
-    # us2_conv2: packed roll, C=64 -> 64 @ HALF
-    xp2 = randn(B, HALF[0], HALF[1], HALF[2] // 2, 128)
     k2 = randn(3, 3, 3, 64, 64, scale=0.05)
-    timed("us2_conv2 roll", chain(
-        lambda x: roll_conv_affine_relu(x, k2, sc, sh)), xp2)
+    xp2 = randn(B, HALF[0], HALF[1], HALF[2] // 2, 128)
 
-    # us3+heads fused tail
-    k3 = randn(3, 3, 3, 64, 32, scale=0.05)
-    sc3 = jnp.ones((64,), jnp.float32)
-    sh3 = jnp.zeros((64,), jnp.float32)
-    hw = randn(32, 2, scale=0.2)
-    hb = jnp.zeros((2,), jnp.float32)
-    timed("us3+heads fused", chain(
-        lambda x: roll_conv_heads_sigmoid(x, k3, sc3, sh3, hw, hb)), xp2)
+    if not SKIP:
+        # us2_conv1: packed roll, C=128 -> 64 @ HALF  (WT=24 plan)
+        xp1 = randn(B, HALF[0], HALF[1], HALF[2] // 2, 256)
+        k1 = randn(3, 3, 3, 128, 64, scale=0.05)
+        timed("us2_conv1 roll", chain(
+            lambda x: roll_conv_affine_relu(x, k1, sc, sh)), xp1)
 
-    # us2 upsample: matmul trilinear QUART -> HALF on 64 ch
-    xq = randn(B, *QUART, 64)
-    timed("us2 upsample matmul", chain(
-        lambda x: resize_linear_matmul(x, HALF, (1, 2, 3),
-                                       align_corners=True)), xq)
+        # us2_conv2: packed roll, C=64 -> 64 @ HALF
+        timed("us2_conv2 roll", chain(
+            lambda x: roll_conv_affine_relu(x, k2, sc, sh)), xp2)
 
-    # crop_concat of two HALF 64-ch tensors (as the packed block does)
-    stem_act = randn(B, *HALF, 64)
+        # us3+heads fused tail
+        k3 = randn(3, 3, 3, 64, 32, scale=0.05)
+        sc3 = jnp.ones((64,), jnp.float32)
+        sh3 = jnp.zeros((64,), jnp.float32)
+        hw = randn(32, 2, scale=0.2)
+        hb = jnp.zeros((2,), jnp.float32)
+        timed("us3+heads fused", chain(
+            lambda x: roll_conv_heads_sigmoid(x, k3, sc3, sh3, hw, hb)), xp2)
+
+        # us2 upsample: matmul trilinear QUART -> HALF on 64 ch
+        xq = randn(B, *QUART, 64)
+        timed("us2 upsample matmul", chain(
+            lambda x: resize_linear_matmul(x, HALF, (1, 2, 3),
+                                           align_corners=True)), xq)
+
+    # crop_concat of two HALF 64-ch tensors (as the packed block does);
+    # the second operand derives from x (a closure constant would ship
+    # 528 MB inside the compile RPC -> HTTP 413)
     timed("crop_concat+pack", chain(
-        lambda x: pack_w(crop_concat(x, stem_act))), randn(B, *HALF, 64))
+        lambda x: pack_w(crop_concat(x, x + 1))), randn(B, *HALF, 64))
 
     # us1_conv1: packed-domain XLA conv 576 -> 64 @ QUART
     xq1 = randn(B, QUART[0], QUART[1], QUART[2] // 2, 1152)

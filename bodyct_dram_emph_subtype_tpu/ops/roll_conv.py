@@ -98,11 +98,12 @@ _PATCH_SCHEME = "auto"
 
 # VMEM plan budget: how much scratch the tile plans may claim.  11 MB was
 # tuned against XLA's default 16 MB scoped-vmem limit; the pallas_calls
-# now raise the scoped limit to 32 MB, and the 18 MB budget moves
-# us2_conv1 (and the fused-heads tail) from WT=8 to WT=24 — measured
-# -1.1 ms on the full forward (benchmarks/fwd_r3c_probe.py); every other
-# plan (incl. wgrad/dgrad) is unchanged at this budget.
-_VMEM_BUDGET = 18 * 1024 * 1024
+# now raise the scoped limit to 32 MB.  18 MB moved us2_conv1 (and the
+# fused-heads tail) from WT=8 to WT=24 (-1.1 ms full fwd,
+# benchmarks/fwd_r3c_probe.py); 20 MB additionally admits us1_conv1
+# (C=576 compact: ring+weights 18.8 MB, 14.8 vs 17.8 ms packed-XLA,
+# benchmarks/us1c1_probe.py) and moves us2_conv1's wgrad WT 8 -> 24.
+_VMEM_BUDGET = 20 * 1024 * 1024
 
 
 def set_roll_vmem_budget(n: int) -> None:
@@ -119,11 +120,11 @@ def set_roll_patch_scheme(scheme: str) -> None:
 
 
 def _compact_ok(c2: int) -> bool:
-    """The edge build lane-rolls by C within a 2C-lane vector: supported
-    cheaply when C is a whole number of 128-lane tiles or exactly half of
-    one (in-tile rotate)."""
-    c = c2 // 2
-    return c == 64 or c % 128 == 0
+    """The edge build lane-rolls by C within a 2C-lane vector: any
+    C % 64 == 0 works (the bf16 roll bitcasts to an integral i32 roll;
+    the half-tile-offset case measured fine on chip — us1_conv1 C=576
+    at 14.8 ms vs 17.8 packed-XLA, benchmarks/us1c1_probe.py)."""
+    return (c2 // 2) % 64 == 0
 
 
 def _use_compact(c2: int) -> bool:

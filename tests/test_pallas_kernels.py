@@ -398,3 +398,31 @@ def test_maxpool_kernel_matches_reduce_window(rng):
         with pltpu.force_tpu_interpret_mode():
             got = max_pool_k3s2p1_pallas(x)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_roll_conv_compact_half_tile_class(rng):
+    """Compact scheme with C % 64 == 0 but C % 128 != 0 (the us1_conv1
+    class: the edge block's lane roll crosses tiles at a half-tile
+    offset) == direct packed conv, forward and wgrad."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.ops import roll_conv as rc
+
+    C, O = 192, 8
+    xp = jnp.asarray(rng.randn(1, 4, 6, 8, 2 * C).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.randn(3, 3, 3, C, O).astype(np.float32) * 0.1)
+    assert rc._use_compact(2 * C)
+    ref = rc._direct_packed_reference(xp, k)
+    with pltpu.force_tpu_interpret_mode():
+        out = rc._roll_conv_impl(xp, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    g = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+    dk_ref = jax.grad(lambda kk: jnp.sum(
+        rc._direct_packed_reference(xp, kk) * g))(k)
+    with pltpu.force_tpu_interpret_mode():
+        dk = rc.roll_conv_wgrad(xp, g, k.shape)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-3, atol=1e-3)
