@@ -409,6 +409,48 @@ class DilatedConv3d(nn.Module):
         return out
 
 
+def max_pool_k3s2p1_slices(x):
+    """k=3 s=2 p=1 max-pool as shifted-view maxes (no ``reduce_window``).
+
+    For even extents, output index ``i`` covers inputs ``2i-1, 2i, 2i+1``:
+    split each axis into (even, odd) halves via a free reshape, shift the
+    odd half by one, and take a 3-way max.  W uses the lane-pair form
+    ((W/2, 2C) reshape) so no strided lane access appears.  Pure
+    pad/slice/max.  Exact vs ``nn.max_pool`` for even D/H/W; measured
+    NEUTRAL vs ``reduce_window`` on chip at the stem shape
+    (maxpool_probe2.py: 31.8 vs 31.0 ms chained, 12.3 vs 9.3 resident) —
+    kept as the building block for packed-layout pooling, not as a
+    default.
+    """
+    b, d, h, w, c = x.shape
+    assert d % 2 == 0 and h % 2 == 0 and w % 2 == 0
+    minf = jnp.asarray(-jnp.inf, x.dtype)
+
+    def axis_pool(y, axis):
+        # view (..., n, ...) as (..., n//2, 2, ...), max(odd[i-1], ev, od)
+        n = y.shape[axis]
+        shp = y.shape[:axis] + (n // 2, 2) + y.shape[axis + 1:]
+        v = y.reshape(shp)
+        ev = jax.lax.index_in_dim(v, 0, axis + 1, keepdims=False)
+        od = jax.lax.index_in_dim(v, 1, axis + 1, keepdims=False)
+        pad = [(0, 0)] * ev.ndim
+        pad[axis] = (1, 0)
+        od_prev = jax.lax.pad(
+            od, minf, [(lo, 0, 0) for lo, _ in pad])[
+                tuple(slice(0, s) for s in ev.shape)]
+        return jnp.maximum(od_prev, jnp.maximum(ev, od))
+
+    y = axis_pool(x, 1)          # D
+    y = axis_pool(y, 2)          # H
+    # W via the lane-pair view: (W/2, 2C) is a free reshape
+    p = y.reshape(b, d // 2, h // 2, w // 2, 2 * c)
+    ev, od = p[..., :c], p[..., c:]
+    od_prev = jnp.concatenate(
+        [jnp.full(od.shape[:3] + (1, c), minf, od.dtype), od[:, :, :, :-1]],
+        axis=3)
+    return jnp.maximum(od_prev, jnp.maximum(ev, od))
+
+
 def max_pool_3d_k3s2p1(x, train: bool = False):
     """torch ``MaxPool3d(kernel_size=3, stride=2, padding=1)``
     (``med3d.py:206``) on NDHWC activations.

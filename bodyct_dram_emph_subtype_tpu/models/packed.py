@@ -183,6 +183,14 @@ class StemConvS2D(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         if nj == 1:
             return y
+        if fd == 2 and fh == 2:
+            # W-only packing: channel c = jw*F + f and logical half-W index
+            # w2 = wb*(fw//2) + jw, so (Wb, nj*F) -> (w//2, F) is the SAME
+            # linear order — a plain reshape.  The general transpose below
+            # is algebraically identical here (it only moves singleton
+            # dims); on chip the two compile to the same program
+            # (maxpool_probe2.py: barrier-materialize 24.1 vs 24.2 ms), so
+            # this branch is clarity, not perf.
         y = y.reshape(b, d // fd, h // fh, w // fw,
                       fd // 2, fh // 2, fw // 2, self.features)
         return y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(

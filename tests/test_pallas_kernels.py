@@ -377,6 +377,26 @@ def test_roll_heads_sigmoid_matches_composition(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_maxpool_slices_matches_reduce_window(rng):
+    """Shifted-view slices max-pool (``blocks.max_pool_k3s2p1_slices``) ==
+    XLA reduce_window k3 s2 p1 for even extents, f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from bodyct_dram_emph_subtype_tpu.models.blocks import (
+        max_pool_k3s2p1_slices)
+
+    for shape in [(1, 4, 8, 8, 5), (2, 6, 10, 12, 32), (1, 8, 14, 20, 96)]:
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32)).astype(dt)
+            ref = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+                [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+            got = max_pool_k3s2p1_slices(x)
+            np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                          np.asarray(ref, np.float32))
+
+
 def test_maxpool_kernel_matches_reduce_window(rng):
     """Plane-streaming max-pool kernel (interpret mode) == XLA
     reduce_window k3 s2 p1, across shapes with boundary windows."""
