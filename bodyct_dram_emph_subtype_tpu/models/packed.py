@@ -191,6 +191,7 @@ class StemConvS2D(nn.Module):
             # dims); on chip the two compile to the same program
             # (maxpool_probe2.py: barrier-materialize 24.1 vs 24.2 ms), so
             # this branch is clarity, not perf.
+            return y.reshape(b, d // 2, h // 2, w // 2, self.features)
         y = y.reshape(b, d // fd, h // fh, w // fw,
                       fd // 2, fh // 2, fw // 2, self.features)
         return y.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
