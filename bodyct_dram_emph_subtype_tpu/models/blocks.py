@@ -281,8 +281,18 @@ class NormWrapper(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, return_affine: bool = False):
         m = self.method
+        if return_affine:
+            # folded eval affine (mul, add) as logical per-channel f32
+            # vectors, for conv-epilogue / packed-layout fusion.  Declares
+            # the identical variable tree via the _PackedBN twin (same
+            # param/batch_stats names, shapes and inits as nn.BatchNorm);
+            # x is only consulted for the channel count (pass a dummy).
+            assert m in ("bn", "sbn"), m
+            from .packed import _PackedBN
+            return _PackedBN(momentum=self.momentum, epsilon=self.epsilon,
+                             dtype=self.dtype, name="bn")(x, train, True)
         if m in ("bn", "sbn"):
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=self.momentum, epsilon=self.epsilon,

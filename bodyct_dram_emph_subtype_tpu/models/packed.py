@@ -136,6 +136,30 @@ def get_stem_s2d_factors():
     return _STEM_S2D_FACTORS
 
 
+def stem_quad_supported(shape, features: int = 64,
+                        itemsize: int = 2) -> bool:
+    """Gate for the quad-layout stem->pool path (``StemConvS2D`` with
+    ``quad_output=True`` feeding ``ops.maxpool_kernel.max_pool_quads``).
+
+    Requires the (2, 2, 8) s2d factors (quad lanes ARE that path's native
+    conv output), a 1-channel input with pool-compatible logical dims
+    (stem output D and H even => input d % 4 == h % 4 == 0), the roll-mode
+    size floor, and the pool kernel's VMEM gate."""
+    if len(shape) != 5 or shape[-1] != 1:
+        return False
+    if _STEM_S2D_FACTORS != (2, 2, 8):
+        return False
+    b, d, h, w, _ = shape
+    if d % 4 or h % 4 or w % 8:
+        return False
+    n = (d // 2) * (h // 2) * (w // 2) * features
+    if n < _ROLL_MIN_ELEMS:
+        return False
+    from ..ops.maxpool_kernel import supports_maxpool_quads
+    return supports_maxpool_quads((b, d // 2, h // 2, w // 8, 4 * features),
+                                  itemsize)
+
+
 class StemConvS2D(nn.Module):
     """The k=7 stride-2 stem conv via space-to-depth.
 
@@ -147,9 +171,18 @@ class StemConvS2D(nn.Module):
     layout stays the logical (7,7,7,Cin,features) ``nn.Conv`` shape, so
     checkpoints and torch import are oblivious.  Falls back to the direct
     conv for odd spatial dims or Cin > 1.
+
+    ``quad_output=True`` (gate with :func:`stem_quad_supported`) returns
+    the NATIVE (2,2,8)-factor conv output (B, D/2, H/2, W/8, 4F) — quad
+    lanes ``j*F + f`` holding logical ``w = 4*wq + j`` — skipping the
+    unshuffle so the 528 MB stem activation is never relaid out to 64
+    lanes (that materialize costs +11 ms at the deployment shape,
+    ``benchmarks/maxpool_probe{,3}.py``); the caller feeds it straight to
+    ``ops.maxpool_kernel.max_pool_quads``.
     """
     features: int
     dtype: Optional[Dtype] = None
+    quad_output: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -163,11 +196,15 @@ class StemConvS2D(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         if cin != 1 or any(s % 2 for s in x.shape[1:4]):
+            assert not self.quad_output, "gate with stem_quad_supported"
             return conv3d_apply(x, kernel, (2, 2, 2),
                                 ((3, 3), (3, 3), (3, 3)), mode="direct")
         b, d, h, w, _ = x.shape
         fd, fh, fw = (f if s % f == 0 else 2 for f, s in
                       zip(_STEM_S2D_FACTORS, (d, h, w)))
+        if self.quad_output:
+            assert (fd, fh, fw) == (2, 2, 8), \
+                "quad_output requires the (2,2,8) factors to apply"
         (ed, od), (eh, oh), (ew, ow) = map(_s2d_axis_extent, (fd, fh, fw))
         nj = (fd // 2) * (fh // 2) * (fw // 2)
         xg = x.reshape(b, d // fd, fd, h // fh, fh, w // fw, fw)
@@ -181,6 +218,8 @@ class StemConvS2D(nn.Module):
             xg, kp, (1, 1, 1),
             [(od, ed - 1 - od), (oh, eh - 1 - oh), (ow, ew - 1 - ow)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if self.quad_output:
+            return y                  # (B, D/2, H/2, W/8, 4F) quad lanes
         if nj == 1:
             return y
         if fd == 2 and fh == 2:
@@ -440,7 +479,7 @@ class PackedUpsampleConvBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, inputs, cats, train: bool):
+    def __call__(self, inputs, cats, train: bool, cats_quad: bool = False):
         from ..ops.resize import resize_linear_matmul
         d, h, w = inputs.shape[1:4]
         up = resize_linear_matmul(inputs, (d * self.scale_factor,
@@ -448,7 +487,22 @@ class PackedUpsampleConvBlock(nn.Module):
                                            w * self.scale_factor),
                                   (1, 2, 3), align_corners=True)
         up = up.astype(inputs.dtype)
-        x = pack_w(crop_concat(up, cats))
+        if cats_quad:
+            # ``cats`` is the quad-lane stem (B, D, H, W/4, 4C): its
+            # W-pair view (W/2, 2C) is the same linear order, and the
+            # packed concat interleaves per parity so the result is
+            # bit-identical to pack_w(concat([up, cats_ndhwc], -1)).
+            # No crop: the quad gate guarantees up.shape == stem.shape.
+            cq = cats.reshape(*cats.shape[:3], cats.shape[3] * 2,
+                              cats.shape[4] // 2)
+            assert up.shape[1:4] == (cq.shape[1], cq.shape[2],
+                                     2 * cq.shape[3]), (up.shape, cats.shape)
+            cu, cc = up.shape[-1], cq.shape[-1] // 2
+            uq = pack_w(up.astype(cq.dtype))
+            x = jnp.concatenate([uq[..., :cu], cq[..., :cc],
+                                 uq[..., cu:], cq[..., cc:]], axis=-1)
+        else:
+            x = pack_w(crop_concat(up, cats))
         for idx, ch in enumerate(self.base_chs):
             x = packed_stage(
                 PackedConv3(ch, dtype=self.dtype, name=f"conv{idx}"),

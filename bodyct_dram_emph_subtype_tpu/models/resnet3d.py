@@ -53,6 +53,36 @@ def remat_scopes(remat) -> frozenset:
     return frozenset(s.strip() for s in str(remat).split(",") if s.strip())
 
 
+# Default OFF: the quad region alone wins 19.8 vs 31.4 ms chained
+# (benchmarks/maxpool_probe3.py) but the decoder us2 skip pays the
+# quad->pair relayout back with interest in-model (170.8 vs 167.8 ms,
+# benchmarks/fwd_r3d_probe.py / stem_consumers_probe.py) — flip on when
+# the skip consumer reads the quad layout natively.
+_QUAD_STEM_ENABLE = False
+
+
+def set_quad_stem_enable(on: bool) -> None:
+    """Chip-A/B hook: toggle the quad stem->pool path."""
+    global _QUAD_STEM_ENABLE
+    _QUAD_STEM_ENABLE = bool(on)
+
+
+def use_quad_stem(x_shape, train: bool, packed_decoder: bool,
+                  dtype) -> bool:
+    """Static gate for the quad-layout stem->pool path: eval, conv mode
+    'roll', packed decoder (the skip consumer understands quad cats), and
+    the stem/pool shape+VMEM gates (``packed.stem_quad_supported``)."""
+    from . import blocks as _blocks
+    from .packed import stem_quad_supported
+    if train or not packed_decoder or _blocks._CONV3D_MODE != "roll":
+        return False
+    if not _QUAD_STEM_ENABLE:
+        return False
+    import jax.numpy as _jnp
+    itemsize = _jnp.dtype(dtype).itemsize if dtype is not None else 4
+    return stem_quad_supported(tuple(x_shape), 64, itemsize)
+
+
 class _Trunk(nn.Module):
     """Shared encoder trunk; returns (stem, layer1, layer4) activations.
 
@@ -61,20 +91,42 @@ class _Trunk(nn.Module):
     of keeping them in HBM — required to train batch ≥ 2 volumes per v5e
     chip at the deployment input size.  Accepts the selective-scope forms
     of :func:`remat_scopes`.
+
+    ``quad_stem=True`` (gate with :func:`use_quad_stem`) keeps the stem
+    activation in the s2d conv's NATIVE quad-lane layout (B, D/2, H/2,
+    W/8, 256): BN+ReLU fold onto the 256-lane tensor and the max-pool
+    runs as the quad-resident Pallas kernel — the 64-lane NDHWC
+    materialize (+11 ms) and the pool's input relayout (+6 ms) never
+    happen (``benchmarks/maxpool_probe3.py``).  The returned ``stem`` is
+    then quad-shaped; the packed decoder consumes it directly.
     """
     block: Type[nn.Module]
     layers: Sequence[int]
     dtype: Optional[Dtype] = None
     remat: Any = False
     shortcut_type: str = "A"
+    quad_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         from .packed import StemConvS2D
-        x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)
-        x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
-        x = nn.relu(x)                               # /2
-        xp = max_pool_3d_k3s2p1(x, train)             # /4
+        if self.quad_stem:
+            from ..ops.maxpool_kernel import max_pool_quads
+            from .packed import unpack_w
+            xq = StemConvS2D(64, name="conv1", dtype=self.dtype,
+                             quad_output=True)(x)     # (B,D2,H2,Wq,256)
+            dummy = jnp.zeros((1, 1, 1, 1, 128), xq.dtype)
+            mul, add = NormWrapper(dtype=self.dtype, name="bn1")(
+                dummy, train, return_affine=True)     # logical (64,) f32
+            xq = nn.relu(xq.astype(jnp.float32) * jnp.tile(mul, 4)
+                         + jnp.tile(add, 4)).astype(xq.dtype)
+            xp = unpack_w(max_pool_quads(xq))         # /4, NDHWC
+            x = xq                                    # quad stem skip
+        else:
+            x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)
+            x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
+            x = nn.relu(x)                            # /2
+            xp = max_pool_3d_k3s2p1(x, train)         # /4
         x1 = self._layer(xp, 64, self.layers[0], 1, 1, "layer1", train)
         x2 = self._layer(x1, 128, self.layers[1], 2, 1, "layer2", train)
         x3 = self._layer(x2, 256, self.layers[2], 1, 2, "layer3", train)
@@ -167,6 +219,7 @@ class _Decoder(nn.Module):
     dtype: Optional[Dtype] = None
     remat: Any = False
     packed: bool = False
+    quad_cats: bool = False   # ``stem`` arrives in the quad-lane layout
 
     @nn.compact
     def __call__(self, x4, x1, stem, train: bool, fused_heads=None):
@@ -175,12 +228,13 @@ class _Decoder(nn.Module):
             from .packed import (PackedConv3, PackedNormWrapper,
                                  PackedUpsampleConvBlock, pack_w,
                                  packed_stage, packed_stage_heads, unpack_w)
-            up_cls = (nn.remat(PackedUpsampleConvBlock, static_argnums=(3,))
+            up_cls = (nn.remat(PackedUpsampleConvBlock,
+                               static_argnums=(3, 4))
                       if do_remat else PackedUpsampleConvBlock)
             xup1 = up_cls([64, 64], dtype=self.dtype,
-                          name="us1")(x4, x1, train)
+                          name="us1")(x4, x1, train, False)
             xup2 = up_cls([64, 64], dtype=self.dtype,
-                          name="us2")(xup1, stem, train)
+                          name="us2")(xup1, stem, train, self.quad_cats)
             if fused_heads is not None:
                 # eval tail fusion (caller guarantees kernel support): the
                 # f32 sigmoid dense maps come straight out of the us3 pass
@@ -218,10 +272,12 @@ class ResNetSegCls(nn.Module):
 
     @nn.compact
     def __call__(self, x, lungs=None, train: bool = False):
+        quad = use_quad_stem(x.shape, train, self.packed_decoder,
+                             self.dtype or x.dtype)
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              self.remat, self.shortcut_type,
+                              self.remat, self.shortcut_type, quad,
                               name="trunk")(x, train)
-        xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder,
+        xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder, quad,
                         name="decoder")(x4, x1, stem, train)
         dense_outs = [conv3d(n, 1, bias=True, name=f"fc{i}",
                              dtype=self.dtype)(xup3)
@@ -260,8 +316,10 @@ class ResNetSegReg(nn.Module):
 
     @nn.compact
     def __call__(self, x, lungs=None, train: bool = False):
+        quad = use_quad_stem(x.shape, train, self.packed_decoder,
+                             self.dtype or x.dtype)
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              self.remat, self.shortcut_type,
+                              self.remat, self.shortcut_type, quad,
                               name="trunk")(x, train)
         # eval tail fusion: us3+BN+ReLU+heads+sigmoid in one Pallas pass
         # (models/packed.py::packed_stage_heads).  Decided from the STATIC
@@ -279,12 +337,12 @@ class ResNetSegReg(nn.Module):
             hw = jnp.concatenate([k.reshape(32, 1) for k, _ in heads], -1)
             hb = jnp.concatenate([bb for _, bb in heads])
             dense = _Decoder(self.dtype, self.remat, self.packed_decoder,
-                             name="decoder")(x4, x1, stem, train,
-                                             fused_heads=(hw, hb))
+                             quad, name="decoder")(x4, x1, stem, train,
+                                                   fused_heads=(hw, hb))
             dense_outs = [dense[..., 0:1], dense[..., 1:2]]
         else:
             xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder,
-                            name="decoder")(x4, x1, stem, train)
+                            quad, name="decoder")(x4, x1, stem, train)
             dense_outs = [
                 jax.nn.sigmoid(
                     conv3d(1, 1, bias=True, name=f"fc{i}",

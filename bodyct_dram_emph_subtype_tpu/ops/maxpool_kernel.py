@@ -43,7 +43,8 @@ def supports_maxpool_pallas(shape: Tuple[int, ...], itemsize: int = 2,
     if len(shape) != 5:
         return False
     b, d, h, w, c = shape
-    if d < 2 or d % 2 or h % 2 or w % 4 or (4 * c) % 128 or c % 2:
+    # d >= 4: the kernel's two-slot output-stage drain indexes D2-2
+    if d < 4 or d % 2 or h % 2 or w % 4 or (4 * c) % 128 or c % 2:
         return False
     plane = (h // 2) * 2 * (w // 4) * 4 * c
     stage = 2 * (h // 2) * _round_up(w // 4, 8) * 2 * c
@@ -134,29 +135,49 @@ def _kernel(x_hbm, out_hbm, ring, stage, in_sems, out_sems, *,
                           out_sems.at[(D2 - 1) % 2]).wait()
 
 
-def max_pool_k3s2p1_pallas(x: jax.Array, interpret: bool = False):
-    """(B, D, H, W, C) -> (B, D/2, H/2, W/2, C) max-pool (k3 s2 p1).
-    Gate with :func:`supports_maxpool_pallas`."""
-    B, D, H, W, C = x.shape
-    D2, H2, Wq = D // 2, H // 2, W // 4
+def supports_maxpool_quads(shape: Tuple[int, ...], itemsize: int = 2,
+                           vmem_budget: int = 13 * 1024 * 1024) -> bool:
+    """Gate for :func:`max_pool_quads` on a quad-lane (B, D, H, Wq, 4C)
+    activation — the NDHWC gate evaluated on the logical shape."""
+    if len(shape) != 5 or shape[-1] % 4:
+        return False
+    b, d, h, wq, c4 = shape
+    return supports_maxpool_pallas((b, d, h, 4 * wq, c4 // 4), itemsize,
+                                   vmem_budget)
+
+
+def max_pool_quads(xq: jax.Array, interpret: bool = False):
+    """k3 s2 p1 max-pool on a QUAD-LANE activation, W-pair packed output.
+
+    ``xq`` is (B, D, H, Wq, 4C) with lane ``j*C + c`` holding logical
+    position ``w = 4*wq + j`` — the native output layout of the s2d stem
+    conv (``models/packed.py::StemConvS2D(quad_output=True)``), consumed
+    here with NO relayout (the 64-lane NDHWC round-trip costs ~6 ms at
+    the stem shape, ``benchmarks/maxpool_probe3.py``: pool 12.9 ms via
+    the NDHWC entry vs 6.7 quad-resident).  Returns (B, D/2, H/2, Wq, 2C)
+    in the W-pair packed layout (lane ``parity*C + c``, logical pooled
+    ``w = 2*wq + parity``); ``models.packed.unpack_w`` restores NDHWC.
+    """
+    B, D, H, Wq, C4 = xq.shape
+    C = C4 // 4
+    D2, H2 = D // 2, H // 2
     WqP = _round_up(Wq, 8)
     if WqP != Wq:
         # Mosaic DMAs slice the second-minor (quad) dim — it must be
-        # 8-aligned, so pad W with -inf quads (ignored by every max)
-        x = jnp.pad(x, ((0, 0),) * 3 + ((0, 4 * (WqP - Wq)), (0, 0)),
-                    constant_values=-jnp.inf)
-    WoP = WqP
-    xq = x.reshape(B, D, H2, 2, WqP, 4 * C)
-    body = functools.partial(_kernel, D2=D2, H2=H2, Wq=WqP, C=C, WoP=WoP)
+        # 8-aligned, so pad with -inf quads (ignored by every max)
+        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, WqP - Wq), (0, 0)),
+                     constant_values=-jnp.inf)
+    xv = xq.reshape(B, D, H2, 2, WqP, C4)
+    body = functools.partial(_kernel, D2=D2, H2=H2, Wq=WqP, C=C, WoP=WqP)
     out = pl.pallas_call(
         body,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, D2, H2, WoP, 2 * C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D2, H2, WqP, 2 * C), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((5, H2, 2, WqP, 4 * C), x.dtype),
-            pltpu.VMEM((2, H2, WoP, 2 * C), x.dtype),
+            pltpu.VMEM((5, H2, 2, WqP, C4), xq.dtype),
+            pltpu.VMEM((2, H2, WqP, 2 * C), xq.dtype),
             pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -165,6 +186,14 @@ def max_pool_k3s2p1_pallas(x: jax.Array, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(xq)
-    out = out[:, :, :, :Wq]
+    )(xv)
+    return out[:, :, :, :Wq]
+
+
+def max_pool_k3s2p1_pallas(x: jax.Array, interpret: bool = False):
+    """(B, D, H, W, C) -> (B, D/2, H/2, W/2, C) max-pool (k3 s2 p1).
+    Gate with :func:`supports_maxpool_pallas`."""
+    B, D, H, W, C = x.shape
+    D2, H2, Wq = D // 2, H // 2, W // 4
+    out = max_pool_quads(x.reshape(B, D, H, Wq, 4 * C), interpret=interpret)
     return out.reshape(B, D2, H2, Wq * 2, C)

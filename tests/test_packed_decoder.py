@@ -302,3 +302,66 @@ def test_packed_layer1_matches_unpacked(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
     assert jax.tree.structure(v2) == jax.tree.structure(v)
+
+
+def test_quad_stem_pool_path_matches_direct(rng):
+    """The quad-layout stem->pool path (StemConvS2D quad_output ->
+    folded BN/ReLU on 256 lanes -> max_pool_quads -> packed decoder
+    concat) == the direct-mode model on the same params, with an
+    IDENTICAL variable tree (checkpoint compatibility)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.blocks import set_conv3d_mode
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import (
+        ResNetSegReg, set_quad_stem_enable, use_quad_stem)
+
+    x = jnp.asarray(rng.randn(1, 16, 32, 32, 1).astype(np.float32) * 0.2)
+    lungs = jnp.asarray((rng.rand(1, 8, 16, 16, 1) > 0.3).astype(np.float32))
+    m = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    d0, r0 = m.apply(v, x, lungs, train=False)
+
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    try:
+        set_conv3d_mode("roll")
+        set_quad_stem_enable(True)
+        packed_mod._ROLL_MIN_ELEMS = 0
+        assert use_quad_stem(x.shape, False, True, jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            d1, r1 = m.apply(v, x, lungs, train=False)
+            v2 = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    finally:
+        set_conv3d_mode("direct")
+        set_quad_stem_enable(False)
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(d1[i]), np.asarray(d0[i]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1[i]), np.asarray(r0[i]),
+                                   rtol=1e-4, atol=1e-5)
+    assert jax.tree.structure(v2) == jax.tree.structure(v)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_max_pool_quads_matches_reduce_window(rng):
+    """max_pool_quads on the quad-lane view == reduce_window on NDHWC,
+    output in the W-pair packed layout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.ops.maxpool_kernel import (
+        max_pool_quads, supports_maxpool_quads)
+
+    for shape in [(1, 4, 8, 8, 32), (2, 6, 10, 12, 32)]:
+        b, d, h, w, c = shape
+        assert supports_maxpool_quads((b, d, h, w // 4, 4 * c))
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        ref = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+        with pltpu.force_tpu_interpret_mode():
+            got = max_pool_quads(x.reshape(b, d, h, w // 4, 4 * c))
+        np.testing.assert_array_equal(
+            np.asarray(unpack_w(got)), np.asarray(ref))
