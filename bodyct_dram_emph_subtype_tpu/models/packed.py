@@ -185,13 +185,17 @@ class StemConvS2D(nn.Module):
     quad_output: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         import jax.numpy as jnp
 
         from .blocks import conv3d_apply
         cin = x.shape[-1]
         kernel = self.param("kernel", kaiming_normal_fan_out,
                             (7, 7, 7, cin, self.features))
+        if return_params:
+            # raw logical weights for an external fused lowering
+            # (ops/stem_kernel.py); x is only consulted for Cin
+            return kernel
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)

@@ -112,15 +112,26 @@ class _Trunk(nn.Module):
         from .packed import StemConvS2D
         if self.quad_stem:
             from ..ops.maxpool_kernel import max_pool_quads
+            from ..ops.stem_kernel import (fused_stem_pool,
+                                           supports_fused_stem)
             from .packed import unpack_w
-            xq = StemConvS2D(64, name="conv1", dtype=self.dtype,
-                             quad_output=True)(x)     # (B,D2,H2,Wq,256)
-            dummy = jnp.zeros((1, 1, 1, 1, 128), xq.dtype)
+            dtype = self.dtype or x.dtype
+            conv1 = StemConvS2D(64, name="conv1", dtype=self.dtype,
+                                quad_output=True)
+            dummy = jnp.zeros((1, 1, 1, 1, 128), dtype)
             mul, add = NormWrapper(dtype=self.dtype, name="bn1")(
                 dummy, train, return_affine=True)     # logical (64,) f32
-            xq = nn.relu(xq.astype(jnp.float32) * jnp.tile(mul, 4)
-                         + jnp.tile(add, 4)).astype(xq.dtype)
-            xp = unpack_w(max_pool_quads(xq))         # /4, NDHWC
+            if supports_fused_stem(x.shape, 64, jnp.dtype(dtype).itemsize):
+                # one Pallas pass: conv+BN+ReLU+maxpool, stem written once
+                kernel = conv1(x, return_params=True)
+                xq, pooled = fused_stem_pool(x, kernel, mul, add,
+                                             dtype=dtype)
+            else:
+                xq = conv1(x)                         # (B,D2,H2,Wq,256)
+                xq = nn.relu(xq.astype(jnp.float32) * jnp.tile(mul, 4)
+                             + jnp.tile(add, 4)).astype(xq.dtype)
+                pooled = max_pool_quads(xq)
+            xp = unpack_w(pooled)                     # /4, NDHWC
             x = xq                                    # quad stem skip
         else:
             x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)

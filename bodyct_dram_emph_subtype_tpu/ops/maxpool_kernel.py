@@ -63,6 +63,28 @@ def _lane_roll(x, c: int):
         pltpu.roll(i32, (c // k) % i32.shape[-1], x.ndim - 1), x.dtype)
 
 
+def _pool_hw(p, C: int, fill):
+    """H and W pool stages on a depth-maxed (H2, 2, Wq, 4C) quad plane ->
+    (H2, Wq, 2C) W-pair packed.  ``fill`` is the boundary value (-inf in
+    general; 0 suffices for post-ReLU activations)."""
+    H2, _, Wq, C4 = p.shape
+    # H: max(odd[i-1], even[i], odd[i])
+    even = p[:, 0]
+    odd = p[:, 1]
+    odd_up = jnp.concatenate(
+        [jnp.full((1, Wq, C4), fill, p.dtype), odd[:-1]], axis=0)
+    hm = jnp.maximum(even, jnp.maximum(odd, odd_up))  # (H2, Wq, 4C)
+    # W: quad lanes (pos, c).  t1 block l = max(A.l, A.l+1); the previous
+    # quad contributes its last position to the even tap.
+    t1 = jnp.maximum(hm, _lane_roll(hm, -C))
+    prev = jnp.concatenate(
+        [jnp.full((H2, 1, C4), fill, p.dtype), hm[:, :-1]], axis=1)
+    ev = jnp.maximum(t1, _lane_roll(prev, C))      # lanes 0:C valid
+    t2 = jnp.maximum(t1, _lane_roll(t1, -C))       # lanes C:2C valid
+    lane = jax.lax.broadcasted_iota(jnp.int32, ev.shape, ev.ndim - 1)
+    return jnp.where(lane < C, ev, t2)[:, :, :2 * C]
+
+
 def _kernel(x_hbm, out_hbm, ring, stage, in_sems, out_sems, *,
             D2: int, H2: int, Wq: int, C: int, WoP: int):
     b = pl.program_id(0)
@@ -97,21 +119,7 @@ def _kernel(x_hbm, out_hbm, ring, stage, in_sems, out_sems, *,
         p = jnp.maximum(pm1, jnp.maximum(
             ring[pl.ds(jax.lax.rem(2 * do, 5), 1)][0],
             ring[pl.ds(jax.lax.rem(2 * do + 1, 5), 1)][0]))
-        # H: (H2, 2, Wq, 4C) -> max(odd[i-1], even[i], odd[i])
-        even = p[:, 0]
-        odd = p[:, 1]
-        odd_up = jnp.concatenate(
-            [jnp.full((1, Wq, C4), minf, p.dtype), odd[:-1]], axis=0)
-        hm = jnp.maximum(even, jnp.maximum(odd, odd_up))  # (H2, Wq, 4C)
-        # W: quad lanes (pos, c).  t1 block l = max(A.l, A.l+1); the
-        # previous quad contributes its last position to the even tap.
-        t1 = jnp.maximum(hm, _lane_roll(hm, -C))
-        prev = jnp.concatenate(
-            [jnp.full((H2, 1, C4), minf, p.dtype), hm[:, :-1]], axis=1)
-        ev = jnp.maximum(t1, _lane_roll(prev, C))      # lanes 0:C valid
-        t2 = jnp.maximum(t1, _lane_roll(t1, -C))       # lanes C:2C valid
-        lane = jax.lax.broadcasted_iota(jnp.int32, ev.shape, ev.ndim - 1)
-        res = jnp.where(lane < C, ev, t2)[:, :, :2 * C]
+        res = _pool_hw(p, C, minf)
 
         sslot = jax.lax.rem(do, 2)
 

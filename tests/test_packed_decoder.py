@@ -316,34 +316,43 @@ def test_quad_stem_pool_path_matches_direct(rng):
     from bodyct_dram_emph_subtype_tpu.models.resnet3d import (
         ResNetSegReg, set_quad_stem_enable, use_quad_stem)
 
-    x = jnp.asarray(rng.randn(1, 16, 32, 32, 1).astype(np.float32) * 0.2)
-    lungs = jnp.asarray((rng.rand(1, 8, 16, 16, 1) > 0.3).astype(np.float32))
-    m = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
-    v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
-    d0, r0 = m.apply(v, x, lungs, train=False)
+    from bodyct_dram_emph_subtype_tpu.ops.stem_kernel import (
+        supports_fused_stem)
 
-    min_elems = packed_mod._ROLL_MIN_ELEMS
-    try:
-        set_conv3d_mode("roll")
-        set_quad_stem_enable(True)
-        packed_mod._ROLL_MIN_ELEMS = 0
-        assert use_quad_stem(x.shape, False, True, jnp.float32)
-        with pltpu.force_tpu_interpret_mode():
-            d1, r1 = m.apply(v, x, lungs, train=False)
-            v2 = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
-    finally:
-        set_conv3d_mode("direct")
-        set_quad_stem_enable(False)
-        packed_mod._ROLL_MIN_ELEMS = min_elems
-    for i in range(2):
-        np.testing.assert_allclose(np.asarray(d1[i]), np.asarray(d0[i]),
-                                   rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(r1[i]), np.asarray(r0[i]),
-                                   rtol=1e-4, atol=1e-5)
-    assert jax.tree.structure(v2) == jax.tree.structure(v)
-    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
-        assert a.shape == b.shape
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # (1,16,...) takes the fused stem kernel; (1,8,...) the quad
+    # StemConvS2D + max_pool_quads fallback (d < 16)
+    for dd, fused in [(16, True), (8, False)]:
+        x = jnp.asarray(
+            rng.randn(1, dd, 32, 32, 1).astype(np.float32) * 0.2)
+        lungs = jnp.asarray(
+            (rng.rand(1, dd // 2, 16, 16, 1) > 0.3).astype(np.float32))
+        assert supports_fused_stem(x.shape) == fused
+        m = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+        v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+        d0, r0 = m.apply(v, x, lungs, train=False)
+
+        min_elems = packed_mod._ROLL_MIN_ELEMS
+        try:
+            set_conv3d_mode("roll")
+            set_quad_stem_enable(True)
+            packed_mod._ROLL_MIN_ELEMS = 0
+            assert use_quad_stem(x.shape, False, True, jnp.float32)
+            with pltpu.force_tpu_interpret_mode():
+                d1, r1 = m.apply(v, x, lungs, train=False)
+                v2 = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+        finally:
+            set_conv3d_mode("direct")
+            set_quad_stem_enable(False)
+            packed_mod._ROLL_MIN_ELEMS = min_elems
+        for i in range(2):
+            np.testing.assert_allclose(np.asarray(d1[i]), np.asarray(d0[i]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(r1[i]), np.asarray(r0[i]),
+                                       rtol=1e-4, atol=1e-5)
+        assert jax.tree.structure(v2) == jax.tree.structure(v)
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_max_pool_quads_matches_reduce_window(rng):
