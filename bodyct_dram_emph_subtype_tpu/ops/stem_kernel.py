@@ -7,24 +7,30 @@ TF/s gross (13.0 ms at the B=4 deployment shape), then pays a 528 MB
 materialize + an off-roofline pool (region total ~31.4 ms chained,
 ``benchmarks/maxpool_probe{,3}.py``) against a ~6 ms floor.
 
-This kernel runs the whole region in one pass:
+This kernel runs the whole region in one pass.  The first cut extracted
+the three W taps in-kernel with sublane-offset VMEM slices — the same
+per-tile relayout trap that sank ``ops/tap_conv.py`` (Wq = 36 quad
+columns is not 8-aligned, so every tap copy relayouts).  This version
+has NO in-kernel tap extraction at all:
 
-- **input**: the s2d (2,2,8) grid, kh-STACKED in the lane dim by XLA
-  (``_stack_kh``): lane ``kh*32 + c`` of plane (B, D2, H2, WqH, 128)
-  holds ``xg[d, h + kh - 2, wb - 1, c]`` (zero halos baked in).  The
-  height taps therefore live IN the lanes and the W taps are whole
-  128-lane blocks — the per-depth-tap im2col is three lane-ALIGNED
-  VMEM copies, no sub-tile lane surgery.
+- **input**: ALL 12 (kh, kw) taps ride the lane dim, stacked by XLA
+  (``_stack_taps``): lane ``kw*128 + kh*32 + c`` of the FLAT plane
+  (B, D2, H2*Wq, 384) holds ``xg[d, h + kh - 2, wq + kw - 1, c]`` with
+  zero halos baked in.  Each flat row IS its full per-depth-tap im2col
+  patch row; the kernel never shifts or slices anything.
 - **conv**: per output plane, 4 matmuls (H2*Wq, 384) @ (384, 256) — one
   per depth tap ``kd`` — accumulated in f32.  Same gross FLOPs as the
   XLA lowering (the (2,2,8) map is 343/1536 dense) but at rolling-ring
   MFU with the DMA double-buffered behind the matmuls.
 - **epilogue**: folded BN affine + ReLU (quad-tiled (256,) vectors).
 - **pool**: a 3-slot ring of conv planes stays in VMEM; every odd plane
-  emits a pooled plane via the shared H/W stages
-  (``maxpool_kernel._pool_hw``; post-ReLU, so zero boundary fill is
-  exact).  The 528 MB stem activation is WRITTEN once (the decoder skip
-  needs it) and never re-read for pooling.
+  emits a pooled plane.  The H/W pool stages run on the FLAT row space
+  with sublane rolls (±Wq for the odd/odd-up H rows, +1 for the W
+  neighbour) plus iota masks — no misaligned reshape or slice; rows
+  ``j % (2*Wq) >= Wq`` of the pooled plane are don't-care and sliced
+  off (cheaply, 66 MB) outside the kernel.  Post-ReLU, so the zero
+  boundary fill is exact.  The 528 MB stem activation is WRITTEN once
+  (the decoder skip needs it) and never re-read for pooling.
 
 Outputs: the quad-lane stem (B, D2, H2, Wq, 256) and the W-pair packed
 pooled activation (B, D2/2, H2/2, Wq, 2*64).
@@ -39,63 +45,103 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .maxpool_kernel import _pool_hw
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
-
 
 def supports_fused_stem(shape: Tuple[int, ...], features: int = 64,
                         itemsize: int = 2,
-                        vmem_budget: int = 40 * 1024 * 1024) -> bool:
+                        vmem_budget: int = 44 * 1024 * 1024) -> bool:
     """(B, D, H, W, 1) NDHWC input gate: (2,2,8)-divisible dims, pool-even
-    outputs, and the plane ring + patch + accumulators must fit VMEM."""
+    outputs, and the plane ring + accumulators must fit VMEM."""
     if len(shape) != 5 or shape[-1] != 1 or features != 64:
         return False
     b, d, h, w, _ = shape
     if d % 4 or h % 4 or w % 8 or d < 16:
         return False
     d2, h2, wq = d // 2, h // 2, w // 8
-    wqh = _round_up(wq + 2, 8)
+    hwq = h2 * wq
+    if hwq % 8:
+        return False
     o = 4 * features
-    ring = 7 * h2 * wqh * 128 * itemsize
-    patch = h2 * wq * 384 * itemsize
-    acc = h2 * wq * o * 4
-    cring = 3 * h2 * wq * o * itemsize
-    sstage = 2 * h2 * wq * o * itemsize
-    pstage = 2 * (h2 // 2) * wq * 2 * features * itemsize
+    ring = 6 * hwq * 384 * itemsize
+    acc = hwq * o * 4
+    cring = 3 * hwq * o * itemsize
+    sstage = 2 * hwq * o * itemsize
+    pstage = 2 * hwq * 2 * features * itemsize
     weights = 4 * 384 * o * itemsize
-    return (ring + patch + acc + cring + sstage + pstage
-            + weights) <= vmem_budget
+    return (ring + acc + cring + sstage + pstage + weights) <= vmem_budget
 
 
-def _stack_kh(xg: jax.Array, wqh: int) -> jax.Array:
-    """(B, D2, H2, Wq, 32) s2d grid -> (B, D2, H2, WqH, 128) with the four
-    height taps stacked in lanes (lane kh*32+c = row h+kh-2) and the W
-    halo baked in (data at wb index 1..Wq, zeros elsewhere)."""
+def _stack_taps(xg: jax.Array) -> jax.Array:
+    """(B, D2, H2, Wq, 32) s2d grid -> flat (B, D2, H2*Wq, 384) with all
+    12 (kh, kw) taps stacked in lanes: lane ``kw*128 + kh*32 + c`` holds
+    ``xg[d, h + kh - 2, wq + kw - 1, c]`` (zero halos baked in)."""
     b, d2, h2, wq, c = xg.shape
     xh = jnp.pad(xg, ((0, 0), (0, 0), (2, 1), (0, 0), (0, 0)))
     x4 = jnp.concatenate([xh[:, :, kh:kh + h2] for kh in range(4)], -1)
-    return jnp.pad(x4, ((0, 0), (0, 0), (0, 0),
-                        (1, wqh - wq - 1), (0, 0)))
+    xw = jnp.pad(x4, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    x12 = jnp.concatenate([xw[:, :, :, kw:kw + wq] for kw in range(3)], -1)
+    return x12.reshape(b, d2, h2 * wq, 12 * c)
+
+
+def _sublane_roll(x: jax.Array, shift: int) -> jax.Array:
+    """jnp.roll(x, shift, axis=0) on a (R, L) VMEM value at any element
+    width (Mosaic's rotate is 32-bit only on chip — lane-pair bitcast,
+    sublane rolls never mix lanes)."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift % x.shape[0], 0)
+    i32 = pltpu.bitcast(x, jnp.int32)
+    return pltpu.bitcast(pltpu.roll(i32, shift % x.shape[0], 0), x.dtype)
+
+
+def _lane_roll(x: jax.Array, c: int):
+    """jnp.roll on the lane dim (same bitcast trick, see
+    ``maxpool_kernel._lane_roll``)."""
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, c % x.shape[-1], x.ndim - 1)
+    assert (c * x.dtype.itemsize) % 4 == 0
+    k = 4 // x.dtype.itemsize
+    i32 = pltpu.bitcast(x, jnp.int32)
+    return pltpu.bitcast(
+        pltpu.roll(i32, (c // k) % i32.shape[-1], x.ndim - 1), x.dtype)
+
+
+def _pool_flat(p: jax.Array, Wq: int, C: int) -> jax.Array:
+    """H and W pool stages on a depth-maxed FLAT (H2*Wq, 4C) quad plane.
+
+    Row ``j = g*2*Wq + r`` holds H row pair ``g``: even H row at
+    ``r < Wq``, odd at ``r >= Wq``.  Returns the (H2*Wq, 2C) W-pair
+    packed pooled plane, valid at rows ``j % (2*Wq) < Wq`` (the rest is
+    don't-care).  Zero fill — exact post-ReLU."""
+    R, C4 = p.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    # H: max(even[g], odd[g], odd[g-1]) on the flat rows
+    odd = _sublane_roll(p, -Wq)                       # v[j + Wq]
+    odd_up = jnp.where(row >= Wq, _sublane_roll(p, Wq),
+                       jnp.zeros_like(p))             # v[j - Wq]
+    hm = jnp.maximum(p, jnp.maximum(odd, odd_up))
+    # W: quad lanes (pos, c); prev quad column = previous flat row
+    t1 = jnp.maximum(hm, _lane_roll(hm, -C))
+    prev = jnp.where(row % Wq == 0, jnp.zeros_like(hm),
+                     _sublane_roll(hm, 1))
+    ev = jnp.maximum(t1, _lane_roll(prev, C))      # lanes 0:C valid
+    t2 = jnp.maximum(t1, _lane_roll(t1, -C))       # lanes C:2C valid
+    lane = jax.lax.broadcasted_iota(jnp.int32, ev.shape, ev.ndim - 1)
+    return jnp.where(lane < C, ev, t2)[:, :2 * C]
 
 
 def _kernel_body(x_hbm, w_ref, s_ref, b_ref, stem_hbm, pool_hbm,
-                 ring, patch, cring, sstage, pstage,
+                 ring, cring, sstage, pstage,
                  in_sems, s_sems, p_sems, *,
-                 D2: int, H2: int, Wq: int, WqH: int, O: int):
+                 D2: int, HWq: int, Wq: int, O: int):
     b = pl.program_id(0)
-    HWq = H2 * Wq
 
     def in_dma(di):
-        slot = jax.lax.rem(di, 6)
+        slot = jax.lax.rem(di, 5)
         return pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(di, 1)], ring.at[pl.ds(slot, 1)],
             in_sems.at[slot])
 
-    # slot 6 stays all-zero: the d < 0 / d >= D2 virtual planes
-    ring[pl.ds(6, 1)] = jnp.zeros_like(ring[pl.ds(6, 1)])
+    # slot 5 stays all-zero: the d < 0 / d >= D2 virtual planes
+    ring[pl.ds(5, 1)] = jnp.zeros_like(ring[pl.ds(5, 1)])
     in_dma(0).start()
     in_dma(1).start()
 
@@ -116,19 +162,18 @@ def _kernel_body(x_hbm, w_ref, s_ref, b_ref, stem_hbm, pool_hbm,
         for kd in range(4):
             di = d + kd - 2
             slot = jnp.where((di >= 0) & (di < D2),
-                             jax.lax.rem(jnp.maximum(di, 0), 6), 6)
-            plane = ring[pl.ds(slot, 1)][0]          # (H2, WqH, 128)
-            for kw in range(3):
-                patch[:, :, kw * 128:(kw + 1) * 128] = \
-                    plane[:, kw:kw + Wq, :]
-            acc = acc + jnp.dot(patch[...].reshape(HWq, 384), w_ref[kd],
+                             jax.lax.rem(jnp.maximum(di, 0), 5), 5)
+            plane = ring[pl.ds(slot, 1)][0]          # (HWq, 384)
+            acc = acc + jnp.dot(plane, w_ref[kd],
                                 preferred_element_type=jnp.float32)
         y = jnp.maximum(acc * s_ref[...] + b_ref[...], 0.0)
-        y = y.astype(cring.dtype).reshape(1, H2, Wq, O)
+        y = y.astype(cring.dtype)                    # (HWq, O)
 
-        cring[pl.ds(jax.lax.rem(d, 3), 1)] = y
+        cring[pl.ds(jax.lax.rem(d, 3), 1)] = y.reshape(1, HWq, O)
 
-        # stem plane out (2-slot staging)
+        # stem plane out (2-slot staging; planes ride HBM flattened to
+        # (H2*Wq, O) so the DMA's second-minor dim is 8-aligned — Mosaic
+        # rejects a raw Wq = 36 slice)
         ss = jax.lax.rem(d, 2)
 
         @pl.when(d >= 2)
@@ -136,7 +181,7 @@ def _kernel_body(x_hbm, w_ref, s_ref, b_ref, stem_hbm, pool_hbm,
             pltpu.make_async_copy(sstage.at[pl.ds(ss, 1)],
                                   stem_hbm.at[b, pl.ds(d - 2, 1)],
                                   s_sems.at[ss]).wait()
-        sstage[pl.ds(ss, 1)] = y
+        sstage[pl.ds(ss, 1)] = y.reshape(1, HWq, O)
         pltpu.make_async_copy(sstage.at[pl.ds(ss, 1)],
                               stem_hbm.at[b, pl.ds(d, 1)],
                               s_sems.at[ss]).start()
@@ -149,11 +194,11 @@ def _kernel_body(x_hbm, w_ref, s_ref, b_ref, stem_hbm, pool_hbm,
             pm1 = jnp.where(
                 d >= 3, cring[pl.ds(jax.lax.rem(jnp.maximum(d - 2, 0), 3),
                                     1)][0],
-                jnp.zeros((H2, Wq, O), cring.dtype))
+                jnp.zeros((HWq, O), cring.dtype))
             p = jnp.maximum(pm1, jnp.maximum(
                 cring[pl.ds(jax.lax.rem(d - 1, 3), 1)][0],
                 cring[pl.ds(jax.lax.rem(d, 3), 1)][0]))
-            res = _pool_hw(p.reshape(H2 // 2, 2, Wq, O), O // 4, 0.0)
+            res = _pool_flat(p, Wq, O // 4)
             ps = jax.lax.rem(do, 2)
 
             @pl.when(do >= 2)
@@ -161,7 +206,7 @@ def _kernel_body(x_hbm, w_ref, s_ref, b_ref, stem_hbm, pool_hbm,
                 pltpu.make_async_copy(pstage.at[pl.ds(ps, 1)],
                                       pool_hbm.at[b, pl.ds(do - 2, 1)],
                                       p_sems.at[ps]).wait()
-            pstage[pl.ds(ps, 1)] = res.reshape(1, H2 // 2, Wq, O // 2)
+            pstage[pl.ds(ps, 1)] = res.reshape(1, HWq, O // 2)
             pltpu.make_async_copy(pstage.at[pl.ds(ps, 1)],
                                   pool_hbm.at[b, pl.ds(do, 1)],
                                   p_sems.at[ps]).start()
@@ -201,15 +246,15 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array,
     F = kernel.shape[-1]
     assert cin == 1 and F == 64, (cin, F)
     D2, H2, Wq = D // 2, H // 2, W // 8
-    WqH = _round_up(Wq + 2, 8)
+    HWq = H2 * Wq
     O = 4 * F
 
     xg = x.astype(dtype).reshape(B, D2, 2, H2, 2, Wq, 8)
     xg = xg.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, D2, H2, Wq, 32)
-    x4 = _stack_kh(xg, WqH)
+    x12 = _stack_taps(xg)
 
     # (343, ed*eh*ew*32*nj) map -> packed kernel (4, 4, 3, 32, 256) ->
-    # matmul rows ordered (kw, kh, c) to match the patch lane layout
+    # matmul rows ordered (kw, kh, c) to match the stacked lane layout
     m = jnp.asarray(_s2d_stem_map((2, 2, 8)), dtype)
     kp = jnp.einsum("ks,ko->so", m, kernel.astype(dtype).reshape(343, F)
                     ).reshape(4, 4, 3, 32, O)
@@ -217,8 +262,7 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array,
     s4 = jnp.tile(mul.astype(jnp.float32), 4).reshape(1, O)
     b4 = jnp.tile(add.astype(jnp.float32), 4).reshape(1, O)
 
-    body = functools.partial(_kernel_body, D2=D2, H2=H2, Wq=Wq, WqH=WqH,
-                             O=O)
+    body = functools.partial(_kernel_body, D2=D2, HWq=HWq, Wq=Wq, O=O)
     stem, pooled = pl.pallas_call(
         body,
         grid=(B,),
@@ -228,21 +272,28 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_shape=[jax.ShapeDtypeStruct((B, D2, H2, Wq, O), dtype),
-                   jax.ShapeDtypeStruct((B, D2 // 2, H2 // 2, Wq, 2 * F),
-                                        dtype)],
+        # output planes ride HBM flattened to (H2*Wq, O): Wq itself (36 at
+        # deployment W=288) is not 8-aligned on the second-minor dim, which
+        # Mosaic rejects for DMA slices; H2*Wq is, and the NDHWC reshape
+        # below is free on the contiguous layout
+        out_shape=[jax.ShapeDtypeStruct((B, D2, HWq, O), dtype),
+                   jax.ShapeDtypeStruct((B, D2 // 2, HWq, 2 * F), dtype)],
         scratch_shapes=[
-            pltpu.VMEM((7, H2, WqH, 128), dtype),       # kh-stacked ring
-            pltpu.VMEM((H2, Wq, 384), dtype),           # per-tap patch
-            pltpu.VMEM((3, H2, Wq, O), dtype),          # conv-plane ring
-            pltpu.VMEM((2, H2, Wq, O), dtype),          # stem staging
-            pltpu.VMEM((2, H2 // 2, Wq, 2 * F), dtype),  # pooled staging
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((6, HWq, 384), dtype),        # tap-stacked ring
+            pltpu.VMEM((3, HWq, O), dtype),          # conv-plane ring
+            pltpu.VMEM((2, HWq, O), dtype),          # stem staging
+            pltpu.VMEM((2, HWq, 2 * F), dtype),      # pooled staging
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=48 * 1024 * 1024),
+            has_side_effects=True, vmem_limit_bytes=52 * 1024 * 1024),
         interpret=interpret,
-    )(x4, w4, s4, b4)
+    )(x12, w4, s4, b4)
+    stem = stem.reshape(B, D2, H2, Wq, O)
+    # pooled rows j % (2*Wq) >= Wq are don't-care (odd H rows of each
+    # pair) — slice them off on the small 2F-lane tensor
+    pooled = pooled.reshape(B, D2 // 2, H2 // 2, 2 * Wq, 2 * F)[
+        :, :, :, :Wq, :]
     return stem, pooled
