@@ -464,26 +464,31 @@ def test_fused_stem_pool_matches_direct(rng):
     assert not supports_fused_stem((1, 16, 32, 30, 1))  # W % 8
     assert not supports_fused_stem((1, 18, 32, 32, 1))  # D % 4
 
-    x = jnp.asarray(rng.randn(2, 16, 24, 32, 1).astype(np.float32))
     k = jnp.asarray(rng.randn(7, 7, 7, 1, 64).astype(np.float32) * 0.05)
     mul = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
     add = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
 
-    y = jax.lax.conv_general_dilated(
-        x, k, (2, 2, 2), [(3, 3)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    y = jax.nn.relu(y * mul + add)
-    ref_pool = jax.lax.reduce_window(
-        y, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
-        [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    # Wq = 4 (even) and Wq = 7 (odd, like the deployment 36-is-not-8-
+    # aligned case) — the flat pool's roll masks key on j % Wq
+    for shape in ((2, 16, 24, 32, 1), (1, 16, 32, 56, 1)):
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        y = jax.lax.conv_general_dilated(
+            x, k, (2, 2, 2), [(3, 3)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.nn.relu(y * mul + add)
+        ref_pool = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
 
-    with pltpu.force_tpu_interpret_mode():
-        stem_q, pooled = fused_stem_pool(x, k, mul, add,
-                                         dtype=jnp.float32)
-    # quad stem -> NDHWC: (Wq, 4F) -> (W/2, F) is the same linear order
-    b, d2, h2, wq, o = stem_q.shape
-    stem_n = stem_q.reshape(b, d2, h2, wq * 4, o // 4)
-    np.testing.assert_allclose(np.asarray(stem_n), np.asarray(y),
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(unpack_w(pooled)),
-                               np.asarray(ref_pool), rtol=1e-4, atol=1e-5)
+        with pltpu.force_tpu_interpret_mode():
+            stem_q, pooled = fused_stem_pool(x, k, mul, add,
+                                             dtype=jnp.float32)
+        # quad stem -> NDHWC: (Wq, 4F) -> (W/2, F) is the same linear
+        # order
+        b, d2, h2, wq, o = stem_q.shape
+        stem_n = stem_q.reshape(b, d2, h2, wq * 4, o // 4)
+        np.testing.assert_allclose(np.asarray(stem_n), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(unpack_w(pooled)),
+                                   np.asarray(ref_pool),
+                                   rtol=1e-4, atol=1e-5)
