@@ -395,7 +395,7 @@ class PackedBasicBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, xp, train: bool):
+    def __call__(self, xp, train: bool, return_params: bool = False):
         conv1 = PackedConv3(self.planes, use_bias=False, dtype=self.dtype,
                             name="conv1")
         bn1 = PackedNormWrapper(dtype=self.dtype, name="bn1")
@@ -403,6 +403,16 @@ class PackedBasicBlock(nn.Module):
                             name="conv2")
         bn2 = PackedNormWrapper(dtype=self.dtype, name="bn2")
         dtype = self.dtype or xp.dtype
+        if return_params:
+            # declare the identical variable tree, hand the raw kernels +
+            # folded eval affines to an external fused lowering
+            # (ops/layer1_kernel.py)
+            dummy = jnp.zeros((1, 1, 1, 1, 2 * self.planes), xp.dtype)
+            k1, _ = conv1(xp, return_params=True)
+            m1, a1 = bn1(dummy, False, return_affine=True)
+            k2, _ = conv2(xp, return_params=True)
+            m2, a2 = bn2(dummy, False, return_affine=True)
+            return k1, m1, a1, k2, m2, a2
         kshape = (3, 3, 3, xp.shape[-1] // 2, self.planes)
         if ((not train) and _roll_mode_supported(
                 xp.shape, kshape, jnp.dtype(dtype).itemsize)):
@@ -434,6 +444,22 @@ def supports_packed_layer(xp_shape, planes: int, itemsize: int = 2) -> bool:
         return False
     return _roll_mode_supported(xp_shape, (3, 3, 3, xp_shape[-1] // 2,
                                            planes), itemsize)
+
+
+def supports_fused_layer(xp_shape, planes: int, n_blocks: int,
+                         itemsize: int = 2) -> bool:
+    """Static gate for the whole-layer1 VMEM-resident kernel
+    (``ops/layer1_kernel.py``): conv mode 'roll' (A/B consistency with
+    the streaming kernels) + the kernel's shape/VMEM gate.  No size
+    floor — residency is exactly the small-activation regime where the
+    streaming kernels lose (trunk prefix truth: layer1 18.2 ms on XLA
+    vs a ~6 ms roofline, DEVNOTES round 3d)."""
+    from .blocks import get_conv3d_mode
+    if get_conv3d_mode() != "roll":
+        return False
+    from ..ops.layer1_kernel import supports_fused_layer1
+    return supports_fused_layer1(tuple(xp_shape), planes, n_blocks,
+                                 itemsize)
 
 
 def supports_fused_heads(xp_shape, ch: int, n_heads: int,

@@ -151,15 +151,32 @@ class _Trunk(nn.Module):
         # convs at 128 lanes through the rolling-ring kernel, BN/ReLU/
         # residual positionally local (models/packed.py::PackedBasicBlock,
         # identical variable tree).
-        from .packed import (PackedBasicBlock, pack_w, supports_packed_layer,
-                             unpack_w)
+        from .packed import (PackedBasicBlock, pack_w, supports_fused_layer,
+                             supports_packed_layer, unpack_w)
         wpair = (stride == 1 and dilation == 1 and self.block is BasicBlock
                  and x.shape[-1] == planes * exp and x.shape[3] % 2 == 0)
         if wpair:
             xp_shape = x.shape[:3] + (x.shape[3] // 2, 2 * x.shape[-1])
-            wpair = supports_packed_layer(
-                xp_shape, planes,
-                jnp.dtype(self.dtype or x.dtype).itemsize)
+            itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+            # eval: the whole residual stack in ONE VMEM-resident Pallas
+            # kernel (ops/layer1_kernel.py) — intermediate activations
+            # never touch HBM (trunk prefix truth: XLA layer1 18.2 ms vs
+            # ~6 ms roofline, DEVNOTES round 3d)
+            if (not train) and supports_fused_layer(xp_shape, planes,
+                                                    blocks, itemsize):
+                from ..ops.layer1_kernel import fused_layer1
+                dtype = self.dtype or x.dtype
+                xp = pack_w(x.astype(dtype))
+                ks, mls, ads = [], [], []
+                for i in range(blocks):
+                    k1, m1, a1, k2, m2, a2 = PackedBasicBlock(
+                        planes, dtype=self.dtype, name=f"{name}_{i}")(
+                            xp, train, return_params=True)
+                    ks += [k1.astype(dtype), k2.astype(dtype)]
+                    mls += [m1, m2]
+                    ads += [a1, a2]
+                return unpack_w(fused_layer1(xp, ks, mls, ads))
+            wpair = supports_packed_layer(xp_shape, planes, itemsize)
         if wpair:
             pb_cls = (nn.remat(PackedBasicBlock, static_argnums=(2,))
                       if name in remat_scopes(self.remat)

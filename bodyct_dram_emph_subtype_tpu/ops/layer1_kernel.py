@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: whole-layer1 residual stack resident in VMEM.
+
+The trunk prefix truth table (``benchmarks/trunk_prefix_probe.py``, B=4
+bf16 chained) puts layer1 at **18.2 ms** against a ~6 ms roofline —
+while layer3/4 run at 177-211 TF/s (no headroom).  layer1's 64-channel
+convs at (32, 56, 72) are too small for the streaming rolling-ring
+kernel (DMA-bound at 8.3 M elements, measured neutral in-model,
+DEVNOTES round 3b) and XLA runs them at ~20% MFU with six 33 MB
+HBM round-trips between the convs.
+
+This kernel exploits the one property the streaming kernels can't: the
+ENTIRE per-item activation is 16.5 MB W-pair packed — the whole layer
+fits in VMEM.  One pallas_call per batch item:
+
+- one bulk DMA in (the halo'd packed volume, ~23 MB),
+- NB residual blocks x (conv1+BN+ReLU -> conv2+BN -> +residual -> ReLU)
+  computed plane-by-plane with the production rolling-ring patch scheme
+  (``ops/roll_conv.py``: W-pair packed lanes, compact K=4C tap
+  matrices, height taps as free major-dim patch rows),
+- conv outputs go back into the halo'd layout with ONE f32 W-roll(+1)
+  + boundary mask per plane (the patch alignment shifts the output one
+  packed column left; rolling restores it so every conv reads the same
+  layout),
+- conv2 writes IN PLACE over the block input volume (the residual add
+  consumes A[d] in the same step), so two volumes ping-pong the whole
+  stack,
+- one bulk DMA out.
+
+Intermediate activations never touch HBM: traffic is 23 MB in + 17 MB
+out per item vs ~400 MB for the unfused path.  Eval-only (BN folded to
+affines); training keeps the standard path.  Reference layer:
+``med3d.py:115-144,199-209`` (layer1 = 2-3 BasicBlocks, 64 planes).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roll_conv import _edge_block, build_roll_weights_compact
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def supports_fused_layer1(xp_shape: Tuple[int, ...], planes: int,
+                          n_blocks: int, itemsize: int = 2,
+                          vmem_budget: int = 58 * 1024 * 1024) -> bool:
+    """``xp_shape`` is the PACKED (B, D, H, Wh, 2C) pool output.  Needs
+    identity residuals (2*planes == 2C == 128 lanes), the compact patch
+    scheme, whole-W residency, and two halo'd volumes in VMEM."""
+    if len(xp_shape) != 5 or n_blocks < 1:
+        return False
+    b, d, h, wh, c2 = xp_shape
+    if c2 != 128 or 2 * planes != c2 or d < 4:
+        return False
+    wt = _round_up(wh + 1, 8)
+    wtp = _round_up(wt + 2, 8)
+    hp = h + 2
+    vol = (d + 2) * hp * wtp * c2 * itemsize
+    patch = hp * wt * 2 * c2 * itemsize
+    weights = 2 * n_blocks * 9 * 2 * c2 * c2 * itemsize
+    acc = h * wt * c2 * 4
+    return 2 * vol + patch + weights + 2 * acc <= vmem_budget
+
+
+def _kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
+                 in_sem, out_sem, *, D: int, H: int, Wh: int, WT: int,
+                 WTP: int, C2: int, NB: int):
+    b = pl.program_id(0)
+    HP = H + 2
+
+    # halo planes + the scratch volume start all-zero; the bulk input DMA
+    # fills A[1:D+1] (the XLA-side pad supplies the H/W halos)
+    A[pl.ds(0, 1)] = jnp.zeros_like(A[pl.ds(0, 1)])
+    A[pl.ds(D + 1, 1)] = jnp.zeros_like(A[pl.ds(D + 1, 1)])
+    Bv[...] = jnp.zeros_like(Bv[...])
+    pltpu.make_async_copy(x_hbm.at[b], A.at[pl.ds(1, D)], in_sem).start()
+    pltpu.make_async_copy(x_hbm.at[b], A.at[pl.ds(1, D)], in_sem).wait()
+
+    # post-roll layout: data at cols 1..Wh; col 0 (wrap-in) and cols
+    # >= Wh+1 (partial/affine-only windows) are garbage -> zero
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, WT, 1), 1)
+    edge = (col == 0) | (col >= Wh + 1)
+
+    def conv_pass(ci, src, dst, relu, residual):
+        """One conv+affine(+relu / +residual+relu) sweep src -> dst."""
+
+        def plane_loop(od, carry):
+            acc = jnp.zeros((H * WT, C2), jnp.float32)
+            for dd in range(3):
+                plane = src[pl.ds(od + dd, 1)][0]      # (HP, WTP, C2)
+                patch[:, :, 0:C2] = plane[:, 1:1 + WT, :]
+                patch[:, :, C2:2 * C2] = _edge_block(plane, WT, C2)
+                for dh in range(3):
+                    a = patch[pl.ds(dh, H)].reshape(H * WT, 2 * C2)
+                    acc = acc + jnp.dot(a, w_ref[ci, dd, dh],
+                                        preferred_element_type=jnp.float32)
+            acc = acc * sc_ref[ci] + sh_ref[ci]
+            if relu:
+                acc = jnp.maximum(acc, 0.0)
+            # the patch alignment yields output packed-col j at acc col j;
+            # the halo'd layout stores data at col j+1 — roll +1 and zero
+            # the wrapped/garbage columns (0 and >= Wh+1)
+            y = pltpu.roll(acc.reshape(H, WT, C2), 1, 1)
+            y = jnp.where(edge, 0.0, y)
+            if residual:
+                y = y + A[pl.ds(od + 1, 1)][0][1:1 + H, 0:WT].astype(
+                    jnp.float32)
+                y = jnp.maximum(y, 0.0)
+            dst[pl.ds(od + 1, 1), pl.ds(1, H), pl.ds(0, WT)] = \
+                y.astype(dst.dtype).reshape(1, H, WT, C2)
+            return carry
+
+        jax.lax.fori_loop(0, D, plane_loop, 0)
+
+    for i in range(NB):
+        conv_pass(2 * i, A, Bv, relu=True, residual=False)
+        conv_pass(2 * i + 1, Bv, A, relu=False, residual=True)
+
+    pltpu.make_async_copy(
+        A.at[pl.ds(1, D), pl.ds(1, H), pl.ds(0, WT)],
+        out_hbm.at[b], out_sem).start()
+    pltpu.make_async_copy(
+        A.at[pl.ds(1, D), pl.ds(1, H), pl.ds(0, WT)],
+        out_hbm.at[b], out_sem).wait()
+
+
+def fused_layer1(xp: jax.Array,
+                 kernels: Sequence[jax.Array],
+                 muls: Sequence[jax.Array],
+                 adds: Sequence[jax.Array],
+                 interpret: bool = False) -> jax.Array:
+    """Whole-layer residual stack on a packed (B, D, H, Wh, 2C) input.
+
+    ``kernels``: 2*NB logical (3,3,3,C,C) conv kernels in execution order
+    (block0 conv1, block0 conv2, block1 conv1, ...); ``muls``/``adds``
+    the matching folded BN eval affines ((C,) f32).  Returns the packed
+    layer output, same shape as ``xp``.  Gate with
+    :func:`supports_fused_layer1`.
+    """
+    B, D, H, Wh, C2 = xp.shape
+    NB = len(kernels) // 2
+    assert len(kernels) == len(muls) == len(adds) == 2 * NB
+    # the stored (rolled) layout keeps data at cols 1..Wh, so the
+    # computed width must reach col Wh
+    WT = _round_up(Wh + 1, 8)
+    WTP = _round_up(WT + 2, 8)
+    HP = H + 2
+
+    # halo'd layout: one zero packed col left, data at cols 1..Wh, zeros
+    # out to WTP; one zero H row each side
+    xpad = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, WTP - Wh - 1), (0, 0)))
+
+    w = jnp.stack([build_roll_weights_compact(k.astype(xp.dtype))
+                   for k in kernels])          # (2NB, 3, 3, 2C2, C2)
+    sc = jnp.stack([jnp.tile(m.astype(jnp.float32), 2).reshape(1, C2)
+                    for m in muls])
+    sh = jnp.stack([jnp.tile(a.astype(jnp.float32), 2).reshape(1, C2)
+                    for a in adds])
+
+    body = functools.partial(_kernel_body, D=D, H=H, Wh=Wh, WT=WT,
+                             WTP=WTP, C2=C2, NB=NB)
+    out = pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, WT, C2), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((D + 2, HP, WTP, C2), xp.dtype),   # volume A
+            pltpu.VMEM((D + 2, HP, WTP, C2), xp.dtype),   # volume B
+            pltpu.VMEM((HP, WT, 2 * C2), xp.dtype),       # tap patch
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xpad, w, sc, sh)
+    # the halo'd layout stores data at packed cols 1..Wh
+    return out[:, :, :, 1:Wh + 1, :]

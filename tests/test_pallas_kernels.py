@@ -492,3 +492,48 @@ def test_fused_stem_pool_matches_direct(rng):
         np.testing.assert_allclose(np.asarray(unpack_w(pooled)),
                                    np.asarray(ref_pool),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_layer1_matches_block_stack(rng):
+    """fused_layer1 (whole residual stack resident in VMEM,
+    ops/layer1_kernel.py) == conv/affine/relu/residual composition on
+    the same params (interpret mode).  Covers Wh % 8 == 0 (the stored
+    layout needs the extra packed column) and Wh % 8 != 0, NB = 2/3."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models.packed import pack_w, unpack_w
+    from bodyct_dram_emph_subtype_tpu.ops.layer1_kernel import (
+        fused_layer1, supports_fused_layer1)
+
+    # deployment shape fits the bf16 budget; f32 at that size does not
+    assert supports_fused_layer1((4, 32, 56, 36, 128), 64, 3, 2)
+    assert not supports_fused_layer1((4, 32, 56, 36, 128), 64, 3, 4)
+    assert not supports_fused_layer1((4, 32, 56, 36, 64), 32, 3, 2)
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    C = 64
+    for (B, D, H, W, NB) in ((2, 8, 16, 20, 2), (1, 8, 16, 16, 3)):
+        x = jnp.asarray(rng.randn(B, D, H, W, C).astype(np.float32) * 0.3)
+        ks = [jnp.asarray(rng.randn(3, 3, 3, C, C).astype(np.float32) * .05)
+              for _ in range(2 * NB)]
+        ms = [jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+              for _ in range(2 * NB)]
+        ads = [jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+               for _ in range(2 * NB)]
+        y = x
+        for i in range(NB):
+            h = jax.nn.relu(conv(y, ks[2 * i]) * ms[2 * i] + ads[2 * i])
+            h = conv(h, ks[2 * i + 1]) * ms[2 * i + 1] + ads[2 * i + 1]
+            y = jax.nn.relu(h + y)
+        xp = pack_w(x)
+        assert supports_fused_layer1(xp.shape, C, NB, 4)
+        with pltpu.force_tpu_interpret_mode():
+            outp = fused_layer1(xp, ks, ms, ads)
+        np.testing.assert_allclose(np.asarray(unpack_w(outp)),
+                                   np.asarray(y), rtol=1e-4, atol=5e-4)
