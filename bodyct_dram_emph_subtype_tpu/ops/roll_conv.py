@@ -98,18 +98,29 @@ _PATCH_SCHEME = "auto"
 
 # VMEM plan budget: how much scratch the tile plans may claim.  11 MB was
 # tuned against XLA's default 16 MB scoped-vmem limit; the pallas_calls
-# now raise the scoped limit to 32 MB.  18 MB moved us2_conv1 (and the
-# fused-heads tail) from WT=8 to WT=24 (-1.1 ms full fwd,
-# benchmarks/fwd_r3c_probe.py); 20 MB additionally admits us1_conv1
-# (C=576 compact: ring+weights 18.8 MB, 14.8 vs 17.8 ms packed-XLA,
-# benchmarks/us1c1_probe.py) and moves us2_conv1's wgrad WT 8 -> 24.
-_VMEM_BUDGET = 20 * 1024 * 1024
+# raise the scoped limit alongside the budget (``_vmem_limit``).  18 MB
+# moved us2_conv1 (and the fused-heads tail) from WT=8 to WT=24 (-1.1 ms
+# full fwd, benchmarks/fwd_r3c_probe.py); 20 MB additionally admits
+# us1_conv1 (C=576 compact: ring+weights 18.8 MB, 14.8 vs 17.8 ms
+# packed-XLA, benchmarks/us1c1_probe.py).  52 MB gives the hot streaming
+# shapes whole-W single-tile plans (us1_conv1 WT 8 -> 40, us2_conv1/2
+# 24 -> 72 — no halo re-reads): fwd 156.0 -> 155.4 ms, train step
+# 639.7 -> 634.1 ms, same-window A/Bs (benchmarks/budget_probe.py,
+# benchmarks/train_budget_probe.py).
+_VMEM_BUDGET = 52 * 1024 * 1024
 
 
 def set_roll_vmem_budget(n: int) -> None:
     """Override the tile-plan VMEM budget (chip A/B hook)."""
     global _VMEM_BUDGET
     _VMEM_BUDGET = int(n)
+
+
+def _vmem_limit() -> int:
+    """Scoped-VMEM limit for the pallas_calls: the plan budget plus
+    compiler slop, never below the tuned 32 MB floor (the layer1
+    resident kernel proved 64 MB compiles and runs on the v5e)."""
+    return max(32 * 1024 * 1024, _VMEM_BUDGET + 14 * 1024 * 1024)
 
 
 def set_roll_patch_scheme(scheme: str) -> None:
@@ -151,7 +162,7 @@ def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
     # serve the quarter-resolution stages (Wh = 36 -> WhP = 40 as ONE
     # tile instead of five 8-wide ones) — the deployment half-res shapes
     # (WhP = 72) keep their 24/8 plans.
-    for wt in (48, 40, 32, 24, 16, 8):
+    for wt in (72, 56, 48, 40, 32, 24, 16, 8):
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
@@ -334,7 +345,7 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
+            has_side_effects=True, vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(xpad, w, scale, shift)
     if WhP != Wh or O2P != O2:
@@ -353,7 +364,7 @@ def _heads_plan(shape: Tuple[int, ...], o: int, itemsize: int,
     hp = h + 2
     whp = _round_up(wh, 8)
     o2p = max(2 * o, 128)
-    for wt in (48, 40, 32, 24, 16, 8):
+    for wt in (72, 56, 48, 40, 32, 24, 16, 8):
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
@@ -534,7 +545,7 @@ def roll_conv_heads_sigmoid(xp: jax.Array, kernel: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
+            has_side_effects=True, vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(xpad, w, scale, shift, hw, hb)
     return out[:, :, :, :Wh, :2 * HN]
@@ -559,7 +570,7 @@ def _wgrad_plan(shape: Tuple[int, ...], o: int, itemsize: int,
         # us1_conv1-class (6C = 3456 rows): the accumulator alone would
         # crowd out the pipeline — leave those on XLA
         return None
-    for wt in (48, 40, 32, 24, 16, 8):
+    for wt in (72, 56, 48, 40, 32, 24, 16, 8):
         if whp % wt:
             continue
         wtp = _round_up(wt + 2, 8)
@@ -702,7 +713,7 @@ def roll_conv_wgrad(xp: jax.Array, g: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=32 * 1024 * 1024),
+            has_side_effects=True, vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(xpad, gpad)
 

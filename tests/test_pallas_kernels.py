@@ -268,19 +268,24 @@ def test_roll_conv_wgrad_matches_xla(rng):
     from jax.experimental.pallas import tpu as pltpu
     from bodyct_dram_emph_subtype_tpu.models.packed import pack_w
     from bodyct_dram_emph_subtype_tpu.ops.roll_conv import (
-        _direct_packed_reference, roll_conv_wgrad, supports_roll_wgrad)
+        _direct_packed_reference, _wgrad_plan, roll_conv_wgrad,
+        supports_roll_wgrad)
 
-    # deployment gate: full-lane operands qualify, sub-lane ones don't,
-    # us1_conv1-class accumulators (6C rows too big for VMEM) don't
+    # deployment gate: full-lane operands qualify, sub-lane ones don't.
+    # The us1_conv1-class (C=576 compact) qualifies at the 52 MB default
+    # budget (its 10.6 MB accumulator fits); the crowd-out exclusion
+    # still fires under the old 20 MB budget.
     assert supports_roll_wgrad((4, 64, 112, 72, 128), (3, 3, 3, 64, 64))
     assert supports_roll_wgrad((4, 64, 112, 72, 256), (3, 3, 3, 128, 64))
     assert not supports_roll_wgrad((4, 64, 112, 72, 128), (3, 3, 3, 64, 32))
-    assert not supports_roll_wgrad((4, 32, 56, 36, 1152),
-                                   (3, 3, 3, 576, 64))
+    assert supports_roll_wgrad((4, 32, 56, 36, 1152), (3, 3, 3, 576, 64))
+    assert _wgrad_plan((4, 32, 56, 36, 1152), 64, 2,
+                       vmem_budget=20 * 1024 * 1024) is None
 
-    for (b, d, h, w, c, o) in ((2, 4, 5, 12, 64, 64),   # single W tile
-                               (1, 3, 4, 32, 64, 64),   # two W tiles
-                               (2, 3, 4, 20, 64, 64)):  # Wh=10 -> padded
+    for (b, d, h, w, c, o) in ((2, 4, 5, 12, 64, 64),    # single W tile
+                               (1, 3, 4, 32, 64, 64),    # two W tiles
+                               (2, 3, 4, 20, 64, 64),    # Wh=10 -> padded
+                               (1, 3, 4, 16, 192, 64)):  # compact C%64 edge
         x = jnp.asarray(rng.randn(b, d, h, w, c).astype(np.float32) * 0.1)
         g = jnp.asarray(rng.randn(b, d, h, w, o).astype(np.float32) * 0.1)
         xp, gp = pack_w(x), pack_w(g)
