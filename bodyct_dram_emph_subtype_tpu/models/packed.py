@@ -462,6 +462,19 @@ def supports_fused_layer(xp_shape, planes: int, n_blocks: int,
                                  itemsize)
 
 
+def supports_fused_pool_layer(x_shape, planes: int, n_blocks: int,
+                              itemsize: int = 2) -> bool:
+    """Static gate for the pool+layer1 single-pass kernel
+    (``ops/layer1_kernel.py::fused_pool_layer1``): conv mode 'roll' + the
+    kernel's shape/VMEM gate on the PRE-POOL NDHWC stem activation."""
+    from .blocks import get_conv3d_mode
+    if get_conv3d_mode() != "roll":
+        return False
+    from ..ops.layer1_kernel import supports_fused_pool_layer1
+    return supports_fused_pool_layer1(tuple(x_shape), planes, n_blocks,
+                                      itemsize)
+
+
 def supports_fused_heads(xp_shape, ch: int, n_heads: int,
                          itemsize: int = 2) -> bool:
     """Static-shape gate for the us3+heads fused tail (eval, conv mode

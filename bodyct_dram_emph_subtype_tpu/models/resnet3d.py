@@ -134,18 +134,53 @@ class _Trunk(nn.Module):
             xp = unpack_w(pooled)                     # /4, NDHWC
             x = xq                                    # quad stem skip
         else:
+            from .packed import supports_fused_pool_layer
             x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)
             x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
             x = nn.relu(x)                            # /2
-            xp = max_pool_3d_k3s2p1(x, train)         # /4
-        x1 = self._layer(xp, 64, self.layers[0], 1, 1, "layer1", train)
+            itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+            if ((not train) and self.block is BasicBlock
+                    and supports_fused_pool_layer(x.shape, 64,
+                                                  self.layers[0], itemsize)):
+                # eval: maxpool + the whole layer1 residual stack in ONE
+                # Pallas pass — the pooled activation never touches HBM
+                # (ops/layer1_kernel.py::fused_pool_layer1)
+                x1 = self._layer(x, 64, self.layers[0], 1, 1, "layer1",
+                                 train, prepool=True)
+                xp = None
+            else:
+                xp = max_pool_3d_k3s2p1(x, train)     # /4
+        if xp is not None:
+            x1 = self._layer(xp, 64, self.layers[0], 1, 1, "layer1", train)
         x2 = self._layer(x1, 128, self.layers[1], 2, 1, "layer2", train)
         x3 = self._layer(x2, 256, self.layers[2], 1, 2, "layer3", train)
         x4 = self._layer(x3, 512, self.layers[3], 1, 4, "layer4", train)
         return x, x1, x4
 
-    def _layer(self, x, planes, blocks, stride, dilation, name, train):
+    def _layer(self, x, planes, blocks, stride, dilation, name, train,
+               prepool: bool = False):
         exp = self.block.expansion
+        if prepool:
+            # x is the PRE-POOL NDHWC stem activation; the caller verified
+            # supports_fused_pool_layer — pool + residual stack run as one
+            # VMEM-resident Pallas pass.  The dummy packed input only
+            # provides shapes for param collection (DCE'd under jit).
+            from ..ops.layer1_kernel import fused_pool_layer1
+            from .packed import PackedBasicBlock, unpack_w
+            dtype = self.dtype or x.dtype
+            b, d, h, w, _ = x.shape
+            dummy = jnp.zeros((b, d // 2, h // 2, w // 4, 2 * planes),
+                              dtype)
+            ks, mls, ads = [], [], []
+            for i in range(blocks):
+                k1, m1, a1, k2, m2, a2 = PackedBasicBlock(
+                    planes, dtype=self.dtype, name=f"{name}_{i}")(
+                        dummy, train, return_params=True)
+                ks += [k1.astype(dtype), k2.astype(dtype)]
+                mls += [m1, m2]
+                ads += [a1, a2]
+            return unpack_w(fused_pool_layer1(x.astype(dtype), ks, mls,
+                                              ads))
         # stride-1 dilation-1 identity-shortcut BasicBlock layers (layer1)
         # run whole-layer W-pair packed under conv mode 'roll': 64-channel
         # convs at 128 lanes through the rolling-ring kernel, BN/ReLU/

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .maxpool_kernel import _pool_hw
 from .roll_conv import _edge_block, build_roll_weights_compact
 
 
@@ -69,20 +70,9 @@ def supports_fused_layer1(xp_shape: Tuple[int, ...], planes: int,
     return 2 * vol + patch + weights + 2 * acc <= vmem_budget
 
 
-def _kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
-                 in_sem, out_sem, *, D: int, H: int, Wh: int, WT: int,
-                 WTP: int, C2: int, NB: int):
-    b = pl.program_id(0)
-    HP = H + 2
-
-    # halo planes + the scratch volume start all-zero; the bulk input DMA
-    # fills A[1:D+1] (the XLA-side pad supplies the H/W halos)
-    A[pl.ds(0, 1)] = jnp.zeros_like(A[pl.ds(0, 1)])
-    A[pl.ds(D + 1, 1)] = jnp.zeros_like(A[pl.ds(D + 1, 1)])
-    Bv[...] = jnp.zeros_like(Bv[...])
-    pltpu.make_async_copy(x_hbm.at[b], A.at[pl.ds(1, D)], in_sem).start()
-    pltpu.make_async_copy(x_hbm.at[b], A.at[pl.ds(1, D)], in_sem).wait()
-
+def _conv_phase(A, Bv, patch, w_ref, sc_ref, sh_ref, *, D: int, H: int,
+                Wh: int, WT: int, C2: int, NB: int):
+    """The residual-stack conv passes over a filled halo'd volume A."""
     # post-roll layout: data at cols 1..Wh; col 0 (wrap-in) and cols
     # >= Wh+1 (partial/affine-only windows) are garbage -> zero
     col = jax.lax.broadcasted_iota(jnp.int32, (1, WT, 1), 1)
@@ -122,6 +112,23 @@ def _kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
     for i in range(NB):
         conv_pass(2 * i, A, Bv, relu=True, residual=False)
         conv_pass(2 * i + 1, Bv, A, relu=False, residual=True)
+
+
+def _kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
+                 in_sem, out_sem, *, D: int, H: int, Wh: int, WT: int,
+                 WTP: int, C2: int, NB: int):
+    b = pl.program_id(0)
+
+    # halo planes + the scratch volume start all-zero; the bulk input DMA
+    # fills A[1:D+1] (the XLA-side pad supplies the H/W halos)
+    A[pl.ds(0, 1)] = jnp.zeros_like(A[pl.ds(0, 1)])
+    A[pl.ds(D + 1, 1)] = jnp.zeros_like(A[pl.ds(D + 1, 1)])
+    Bv[...] = jnp.zeros_like(Bv[...])
+    pltpu.make_async_copy(x_hbm.at[b], A.at[pl.ds(1, D)], in_sem).start()
+    pltpu.make_async_copy(x_hbm.at[b], A.at[pl.ds(1, D)], in_sem).wait()
+
+    _conv_phase(A, Bv, patch, w_ref, sc_ref, sh_ref, D=D, H=H, Wh=Wh,
+                WT=WT, C2=C2, NB=NB)
 
     pltpu.make_async_copy(
         A.at[pl.ds(1, D), pl.ds(1, H), pl.ds(0, WT)],
@@ -188,3 +195,174 @@ def fused_layer1(xp: jax.Array,
     )(xpad, w, sc, sh)
     # the halo'd layout stores data at packed cols 1..Wh
     return out[:, :, :, 1:Wh + 1, :]
+
+
+def supports_fused_pool_layer1(x_shape: Tuple[int, ...], planes: int,
+                               n_blocks: int, itemsize: int = 2,
+                               vmem_budget: int = 70 * 1024 * 1024) -> bool:
+    """Gate for :func:`fused_pool_layer1` on the PRE-POOL NDHWC stem
+    activation ``x_shape`` = (B, D, H, W, C).  Requires the pool to land
+    on the 128-lane identity-residual regime (C == planes == 64) and the
+    conv-phase volumes PLUS the pool plane ring to fit VMEM."""
+    if len(x_shape) != 5 or n_blocks < 1:
+        return False
+    b, d, h, w, c = x_shape
+    if c != planes or 2 * c != 128 or (4 * c) % 128:
+        return False
+    if d % 2 or h % 2 or w % 4 or d // 2 < 4:
+        return False
+    d2, h2, wq = d // 2, h // 2, w // 4
+    c2 = 2 * c
+    wt = _round_up(wq + 1, 8)
+    wtp = _round_up(wt + 2, 8)
+    hp = h2 + 2
+    vol = (d2 + 2) * hp * wtp * c2 * itemsize
+    patch = hp * wt * 2 * c2 * itemsize
+    weights = 2 * n_blocks * 9 * 2 * c2 * c2 * itemsize
+    acc = h2 * wt * c2 * 4
+    ring = 5 * h2 * 2 * _round_up(wq, 8) * 4 * c * itemsize
+    return 2 * vol + patch + weights + 2 * acc + ring <= vmem_budget
+
+
+def _pool_kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
+                      ring, in_sems, out_sem, *, D2: int, H2: int, Wq: int,
+                      WqP: int, WT: int, C: int, NB: int,
+                      pool_only: bool = False):
+    """Pool fill (k3 s2 p1 max over streamed stem planes, post-ReLU so the
+    boundary fill is 0) straight into the halo'd conv volume, then the
+    residual-stack conv phase of :func:`_kernel_body`."""
+    b = pl.program_id(0)
+    C2 = 2 * C
+
+    A[...] = jnp.zeros_like(A[...])      # halos + unwritten cols
+    Bv[...] = jnp.zeros_like(Bv[...])
+
+    def pool_dma(di):
+        slot = jax.lax.rem(di, 5)
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(di, 1)], ring.at[pl.ds(slot, 1)],
+            in_sems.at[slot])
+
+    pool_dma(0).start()
+    pool_dma(1).start()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, WT, 1), 1)
+    edge = (col == 0) | (col >= Wq + 1)
+
+    def pool_step(do, carry):
+        # 5-slot rotation: the prefetch slots ((2do+2) % 5, (2do+3) % 5)
+        # never alias this step's three reads — an async refill of a
+        # slot still being read would race (4 slots are NOT enough)
+        @pl.when(2 * do + 2 < 2 * D2)
+        def _():
+            pool_dma(2 * do + 2).start()
+
+        @pl.when(2 * do + 3 < 2 * D2)
+        def _():
+            pool_dma(2 * do + 3).start()
+
+        pool_dma(2 * do).wait()
+        pool_dma(2 * do + 1).wait()
+        sm1 = jnp.where(do == 0, 0, jax.lax.rem(2 * do - 1, 5))
+        pm1 = jnp.where(do == 0, 0.0, ring[pl.ds(sm1, 1)][0])
+        p = jnp.maximum(pm1, jnp.maximum(
+            ring[pl.ds(jax.lax.rem(2 * do, 5), 1)][0],
+            ring[pl.ds(jax.lax.rem(2 * do + 1, 5), 1)][0]))
+
+        res = _pool_hw(p, C, 0.0)              # (H2, WqP, 2C), cols < Wq
+        if WT > WqP:
+            res = jnp.concatenate(
+                [res, jnp.zeros((H2, WT - WqP, C2), res.dtype)], axis=1)
+        # store in the halo'd layout: data at packed cols 1..Wq.  The
+        # sublane roll must run at 32 bits (chip dynamic_rotate is
+        # 32-bit-only for sub-word dtypes, as in the conv phase).
+        y = pltpu.roll(res.astype(jnp.float32), 1, 1)
+        y = jnp.where(edge, 0.0, y)
+        A[pl.ds(do + 1, 1), pl.ds(1, H2), pl.ds(0, WT)] = \
+            y.astype(A.dtype).reshape(1, H2, WT, C2)
+        return carry
+
+    jax.lax.fori_loop(0, D2, pool_step, 0)
+
+    if not pool_only:          # debug hook: emit the pool fill itself
+        _conv_phase(A, Bv, patch, w_ref, sc_ref, sh_ref, D=D2, H=H2,
+                    Wh=Wq, WT=WT, C2=C2, NB=NB)
+
+    pltpu.make_async_copy(
+        A.at[pl.ds(1, D2), pl.ds(1, H2), pl.ds(0, WT)],
+        out_hbm.at[b], out_sem).start()
+    pltpu.make_async_copy(
+        A.at[pl.ds(1, D2), pl.ds(1, H2), pl.ds(0, WT)],
+        out_hbm.at[b], out_sem).wait()
+
+
+def fused_pool_layer1(x: jax.Array,
+                      kernels: Sequence[jax.Array],
+                      muls: Sequence[jax.Array],
+                      adds: Sequence[jax.Array],
+                      interpret: bool = False,
+                      pool_only: bool = False) -> jax.Array:
+    """k3 s2 p1 max-pool + whole-layer1 residual stack in ONE Pallas pass.
+
+    ``x`` is the POST-ReLU NDHWC stem activation (B, D, H, W, C) — values
+    must be >= 0 (the pool boundary fill is 0).  The pool result never
+    touches HBM: stem planes stream through a 4-slot VMEM ring, the
+    3-axis max lands directly in the halo'd W-pair packed conv volume
+    (``ops/maxpool_kernel.py`` pool math), and the residual stack runs
+    VMEM-resident exactly as :func:`fused_layer1`.  Replaces the separate
+    pool dispatch + pack + pad + bulk-DMA chain (~6.8 ms in-model pool at
+    the deployment stem shape vs ~1 ms of streaming DMA).  Returns the
+    packed (B, D/2, H/2, W/4, 2C) layer output.  Gate with
+    :func:`supports_fused_pool_layer1`.  Reference ops:
+    ``med3d.py:206`` (MaxPool3d(3, 2, 1)) + ``med3d.py:115-144`` (layer1).
+    """
+    B, D, H, W, C = x.shape
+    NB = len(kernels) // 2
+    assert len(kernels) == len(muls) == len(adds) == 2 * NB
+    D2, H2, Wq = D // 2, H // 2, W // 4
+    C2, C4 = 2 * C, 4 * C
+    WqP = _round_up(Wq, 8)
+    WT = _round_up(Wq + 1, 8)
+    WTP = _round_up(WT + 2, 8)
+    HP = H2 + 2
+
+    xq = x.reshape(B, D, H, Wq, C4)
+    if WqP != Wq:
+        # Mosaic DMAs slice the second-minor (quad) dim — 8-align it.
+        # Zero pad quads are inert: pool col j only reads quads j-1, j,
+        # so cols < Wq never see them (and cols >= Wq are masked).
+        xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, WqP - Wq), (0, 0)))
+    xv = xq.reshape(B, D, H2, 2, WqP, C4)
+
+    w = jnp.stack([build_roll_weights_compact(k.astype(x.dtype))
+                   for k in kernels])          # (2NB, 3, 3, 2C2, C2)
+    sc = jnp.stack([jnp.tile(m.astype(jnp.float32), 2).reshape(1, C2)
+                    for m in muls])
+    sh = jnp.stack([jnp.tile(a.astype(jnp.float32), 2).reshape(1, C2)
+                    for a in adds])
+
+    body = functools.partial(_pool_kernel_body, D2=D2, H2=H2, Wq=Wq,
+                             WqP=WqP, WT=WT, C=C, NB=NB,
+                             pool_only=pool_only)
+    out = pl.pallas_call(
+        body,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, D2, H2, WT, C2), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((D2 + 2, HP, WTP, C2), x.dtype),   # volume A
+            pltpu.VMEM((D2 + 2, HP, WTP, C2), x.dtype),   # volume B
+            pltpu.VMEM((HP, WT, 2 * C2), x.dtype),        # tap patch
+            pltpu.VMEM((5, H2, 2, WqP, C4), x.dtype),     # pool plane ring
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=80 * 1024 * 1024),
+        interpret=interpret,
+    )(xv, w, sc, sh)
+    return out[:, :, :, 1:Wq + 1, :]

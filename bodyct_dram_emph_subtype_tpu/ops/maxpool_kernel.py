@@ -53,14 +53,18 @@ def supports_maxpool_pallas(shape: Tuple[int, ...], itemsize: int = 2,
 
 def _lane_roll(x, c: int):
     """Static lane roll at any element width (Mosaic's rotate is 32-bit
-    only on chip — same bitcast trick as ``ops/roll_conv.py``)."""
+    only on chip — same bitcast trick as ``ops/roll_conv.py``).
+
+    ``pltpu.bitcast`` to a wider type packs along the SECOND-MINOR dim
+    (lane count unchanged, both on chip and in interpret — verified by
+    direct probe), so the i32 view is rolled by the ORIGINAL lane count
+    ``c``, not ``c`` scaled by the width ratio."""
     if x.dtype.itemsize == 4:
         return pltpu.roll(x, c % x.shape[-1], x.ndim - 1)
-    assert (c * x.dtype.itemsize) % 4 == 0
-    k = 4 // x.dtype.itemsize
+    assert x.shape[-2] % (4 // x.dtype.itemsize) == 0
     i32 = pltpu.bitcast(x, jnp.int32)
     return pltpu.bitcast(
-        pltpu.roll(i32, (c // k) % i32.shape[-1], x.ndim - 1), x.dtype)
+        pltpu.roll(i32, c % i32.shape[-1], x.ndim - 1), x.dtype)
 
 
 def _pool_hw(p, C: int, fill):

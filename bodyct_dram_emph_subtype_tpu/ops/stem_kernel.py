@@ -84,24 +84,33 @@ def _stack_taps(xg: jax.Array) -> jax.Array:
 
 def _sublane_roll(x: jax.Array, shift: int) -> jax.Array:
     """jnp.roll(x, shift, axis=0) on a (R, L) VMEM value at any element
-    width (Mosaic's rotate is 32-bit only on chip — lane-pair bitcast,
-    sublane rolls never mix lanes)."""
+    width (Mosaic's rotate is 32-bit only on chip).  ``pltpu.bitcast``
+    to i32 packs along dim 0 (rows 2r, 2r+1 share an i32 row), so the
+    packed view must roll by ``shift // k`` — and only k-divisible
+    shifts can ride the bitcast at all; others fall back to a
+    slice-concat rotation."""
+    s = shift % x.shape[0]
+    if s == 0:
+        return x
     if x.dtype.itemsize == 4:
-        return pltpu.roll(x, shift % x.shape[0], 0)
-    i32 = pltpu.bitcast(x, jnp.int32)
-    return pltpu.bitcast(pltpu.roll(i32, shift % x.shape[0], 0), x.dtype)
+        return pltpu.roll(x, s, 0)
+    k = 4 // x.dtype.itemsize
+    if s % k == 0 and x.shape[0] % k == 0:
+        i32 = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(i32, s // k, 0), x.dtype)
+    return jnp.concatenate([x[x.shape[0] - s:], x[:x.shape[0] - s]], axis=0)
 
 
 def _lane_roll(x: jax.Array, c: int):
     """jnp.roll on the lane dim (same bitcast trick, see
-    ``maxpool_kernel._lane_roll``)."""
+    ``maxpool_kernel._lane_roll``: bitcast packs along the second-minor
+    dim, lane count unchanged, so the i32 roll amount is ``c``)."""
     if x.dtype.itemsize == 4:
         return pltpu.roll(x, c % x.shape[-1], x.ndim - 1)
-    assert (c * x.dtype.itemsize) % 4 == 0
-    k = 4 // x.dtype.itemsize
+    assert x.shape[-2] % (4 // x.dtype.itemsize) == 0
     i32 = pltpu.bitcast(x, jnp.int32)
     return pltpu.bitcast(
-        pltpu.roll(i32, (c // k) % i32.shape[-1], x.ndim - 1), x.dtype)
+        pltpu.roll(i32, c % i32.shape[-1], x.ndim - 1), x.dtype)
 
 
 def _pool_flat(p: jax.Array, Wq: int, C: int) -> jax.Array:

@@ -415,14 +415,25 @@ def test_maxpool_kernel_matches_reduce_window(rng):
     assert supports_maxpool_pallas((4, 64, 112, 144, 64))
     assert not supports_maxpool_pallas((1, 4, 7, 8, 32))   # odd H
     assert not supports_maxpool_pallas((1, 4, 8, 10, 32))  # W % 4
-    for shape in [(1, 4, 8, 8, 32), (2, 6, 10, 12, 32), (1, 8, 14, 20, 96)]:
-        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
-        ref = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
-            [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
-        with pltpu.force_tpu_interpret_mode():
-            got = max_pool_k3s2p1_pallas(x)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # bf16 exercises the bitcast lane-roll path (the i32 view keeps the
+    # LANE count — rolling by c//2 instead of c shifted channels by half
+    # a block, caught on-chip round 3; interpret agrees with the chip
+    # here, so the bf16 case guards it)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for shape in [(1, 4, 8, 8, 32), (2, 6, 10, 12, 32),
+                      (1, 8, 14, 20, 96)]:
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+            x = x.astype(dtype)
+            ref = jax.lax.reduce_window(
+                x, -jnp.inf if dtype == jnp.float32 else
+                jnp.bfloat16(-jnp.inf), jax.lax.max,
+                (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+                [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+            with pltpu.force_tpu_interpret_mode():
+                got = max_pool_k3s2p1_pallas(x)
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                err_msg=f"{shape} {dtype}")
 
 
 def test_roll_conv_compact_half_tile_class(rng):
@@ -497,6 +508,62 @@ def test_fused_stem_pool_matches_direct(rng):
         np.testing.assert_allclose(np.asarray(unpack_w(pooled)),
                                    np.asarray(ref_pool),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pool_layer1_matches_pool_block_stack(rng):
+    """fused_pool_layer1 (k3 s2 p1 max-pool streamed into the VMEM-resident
+    residual stack, ops/layer1_kernel.py) == max_pool + conv/affine/relu/
+    residual composition on the same params (interpret mode).  Covers
+    Wq % 8 != 0 (padded quad DMA) and Wq % 8 == 0 (WT > WqP zero-extend)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models.packed import unpack_w
+    from bodyct_dram_emph_subtype_tpu.ops.layer1_kernel import (
+        fused_pool_layer1, supports_fused_pool_layer1)
+
+    # deployment stem shape fits bf16; f32 does not; odd depth is out
+    assert supports_fused_pool_layer1((4, 64, 112, 144, 64), 64, 3, 2)
+    assert not supports_fused_pool_layer1((4, 64, 112, 144, 64), 64, 3, 4)
+    assert not supports_fused_pool_layer1((4, 63, 112, 144, 64), 64, 3, 2)
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    C = 64
+    for (B, D, H, W, NB) in ((1, 8, 8, 24, 2), (2, 8, 6, 32, 1)):
+        # post-ReLU semantics: the kernel's pool boundary fill is 0
+        x = jnp.asarray(np.abs(rng.randn(B, D, H, W, C))
+                        .astype(np.float32) * 0.3)
+        ks = [jnp.asarray(rng.randn(3, 3, 3, C, C).astype(np.float32) * .05)
+              for _ in range(2 * NB)]
+        ms = [jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+              for _ in range(2 * NB)]
+        ads = [jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+               for _ in range(2 * NB)]
+        y = nn.max_pool(x, window_shape=(3, 3, 3), strides=(2, 2, 2),
+                        padding=[(1, 1)] * 3)
+        for i in range(NB):
+            h = jax.nn.relu(conv(y, ks[2 * i]) * ms[2 * i] + ads[2 * i])
+            h = conv(h, ks[2 * i + 1]) * ms[2 * i + 1] + ads[2 * i + 1]
+            y = jax.nn.relu(h + y)
+        assert supports_fused_pool_layer1(x.shape, C, NB, 4)
+        with pltpu.force_tpu_interpret_mode():
+            outp = fused_pool_layer1(x, ks, ms, ads)
+        np.testing.assert_allclose(np.asarray(unpack_w(outp)),
+                                   np.asarray(y), rtol=1e-4, atol=5e-4,
+                                   err_msg=f"{(B, D, H, W, NB)}")
+        # bf16 exercises the bitcast lane-roll path of the pool stage
+        with pltpu.force_tpu_interpret_mode():
+            outb = fused_pool_layer1(x.astype(jnp.bfloat16),
+                                     ks, ms, ads)
+        np.testing.assert_allclose(
+            np.asarray(unpack_w(outb), np.float32), np.asarray(y),
+            rtol=0.12, atol=0.08, err_msg=f"bf16 {(B, D, H, W, NB)}")
 
 
 def test_fused_layer1_matches_block_stack(rng):
