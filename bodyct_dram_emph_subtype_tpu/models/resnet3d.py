@@ -258,6 +258,29 @@ class _Trunk(nn.Module):
             x = block_cls(planes, stride, eff_dil, use_downsample=need_ds,
                           dtype=self.dtype, shortcut_type=self.shortcut_type,
                           name=f"{name}_0")(x, train)
+            # eval: the stride-1 identity-shortcut TAIL (layer2 blocks
+            # 1..n-1, 2.6 MB/item packed at the deployment shape) runs as
+            # one VMEM-resident Pallas pass, same kernel as layer1 at 256
+            # lanes.  Real-dilation layers (packed s2b domain) keep the
+            # per-block path.
+            tail = blocks - 1
+            if ((not train) and tail >= 1 and dilation == 1
+                    and self.block is BasicBlock and x.shape[3] % 2 == 0):
+                xp_shape = x.shape[:3] + (x.shape[3] // 2, 2 * x.shape[-1])
+                itemsize = jnp.dtype(self.dtype or x.dtype).itemsize
+                if supports_fused_layer(xp_shape, planes, tail, itemsize):
+                    from ..ops.layer1_kernel import fused_layer1
+                    dtype = self.dtype or x.dtype
+                    xp = pack_w(x.astype(dtype))
+                    ks, mls, ads = [], [], []
+                    for i in range(1, blocks):
+                        k1, m1, a1, k2, m2, a2 = PackedBasicBlock(
+                            planes, dtype=self.dtype, name=f"{name}_{i}")(
+                                xp, train, return_params=True)
+                        ks += [k1.astype(dtype), k2.astype(dtype)]
+                        mls += [m1, m2]
+                        ads += [a1, a2]
+                    return unpack_w(fused_layer1(xp, ks, mls, ads))
             for i in range(1, blocks):
                 x = block_cls(planes, 1, eff_dil, use_downsample=False,
                               dtype=self.dtype, name=f"{name}_{i}")(x, train)

@@ -52,13 +52,14 @@ def _round_up(v: int, m: int) -> int:
 def supports_fused_layer1(xp_shape: Tuple[int, ...], planes: int,
                           n_blocks: int, itemsize: int = 2,
                           vmem_budget: int = 58 * 1024 * 1024) -> bool:
-    """``xp_shape`` is the PACKED (B, D, H, Wh, 2C) pool output.  Needs
-    identity residuals (2*planes == 2C == 128 lanes), the compact patch
-    scheme, whole-W residency, and two halo'd volumes in VMEM."""
+    """``xp_shape`` is the PACKED (B, D, H, Wh, 2C) layer input.  Needs
+    identity residuals (2*planes == 2C, full lane tiles — layer1's 128
+    and layer2-tail's 256 both qualify), the compact patch scheme,
+    whole-W residency, and two halo'd volumes in VMEM."""
     if len(xp_shape) != 5 or n_blocks < 1:
         return False
     b, d, h, wh, c2 = xp_shape
-    if c2 != 128 or 2 * planes != c2 or d < 4:
+    if c2 not in (128, 256) or 2 * planes != c2 or d < 4:
         return False
     wt = _round_up(wh + 1, 8)
     wtp = _round_up(wt + 2, 8)

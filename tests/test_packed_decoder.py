@@ -136,16 +136,18 @@ def test_packed_model_roll_mode_matches_direct(rng):
     """Conv mode 'roll' (rolling-ring Pallas kernel, interpret mode) on the
     packed model == mode 'direct' on the same params, in eval mode (fused
     conv+BN+ReLU epilogue from running stats) and train mode (plain roll
-    conv, batch-stats updates)."""
+    conv, batch-stats updates).  layers=(1, 2, 1, 1) at D=32 engages the
+    eval resident paths: fused pool+layer1 AND the layer2 identity tail
+    (256 lanes)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
     from bodyct_dram_emph_subtype_tpu.models.blocks import set_conv3d_mode
     from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
 
-    x = jnp.asarray(rng.randn(2, 16, 32, 32, 1).astype(np.float32))
+    x = jnp.asarray(rng.randn(1, 32, 32, 32, 1).astype(np.float32))
     lungs = jnp.ones_like(x)
-    m = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    m = ResNetSegReg(layers=(1, 2, 1, 1), packed_decoder=True)
     v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
     d0, r0 = m.apply(v, x, lungs, train=False)
     (_, mut0) = m.apply(v, x, lungs, train=True, mutable=["batch_stats"])

@@ -583,14 +583,19 @@ def test_fused_layer1_matches_block_stack(rng):
     assert supports_fused_layer1((4, 32, 56, 36, 128), 64, 3, 2)
     assert not supports_fused_layer1((4, 32, 56, 36, 128), 64, 3, 4)
     assert not supports_fused_layer1((4, 32, 56, 36, 64), 32, 3, 2)
+    # the layer2 identity tail: 256 lanes at the post-stride deployment
+    # shape (3 of resnet34's 4 layer2 blocks)
+    assert supports_fused_layer1((4, 16, 28, 18, 256), 128, 3, 2)
 
     def conv(x, k):
         return jax.lax.conv_general_dilated(
             x, k, (1, 1, 1), [(1, 1)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
-    C = 64
-    for (B, D, H, W, NB) in ((2, 8, 16, 20, 2), (1, 8, 16, 16, 3)):
+    # C=64 is layer1 (128 packed lanes); C=128 is the layer2 identity
+    # tail (256 lanes, two lane tiles through the edge roll)
+    for (B, D, H, W, C, NB) in ((2, 8, 16, 20, 64, 2), (1, 8, 16, 16, 64, 3),
+                                (1, 8, 10, 12, 128, 2)):
         x = jnp.asarray(rng.randn(B, D, H, W, C).astype(np.float32) * 0.3)
         ks = [jnp.asarray(rng.randn(3, 3, 3, C, C).astype(np.float32) * .05)
               for _ in range(2 * NB)]
