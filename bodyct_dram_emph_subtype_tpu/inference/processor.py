@@ -172,8 +172,13 @@ def _cached_predict_packed(model, target_size, pad_shape):
         ess_bits = jnp.sum(
             em8 * (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)).astype(
                 jnp.uint8), axis=-1).astype(jnp.uint8)
+        # half maps travel f16: the dominant device->host transfer
+        # halves, and f16's 2^-11 relative error on sigmoid outputs sits
+        # ~8x below one uint8 heatmap count (percentages stay f32 —
+        # computed above, before the cast)
         return {
-            "cle_half": dense[0][..., 0], "pse_half": dense[1][..., 0],
+            "cle_half": dense[0][..., 0].astype(jnp.float16),
+            "pse_half": dense[1][..., 0].astype(jnp.float16),
             "ess_bits": ess_bits,
             "cle_pct": cle_sum / lung_sums,
             "pse_pct": pse_sum / lung_sums,
@@ -275,8 +280,9 @@ def _device_batch_post(pipe: _PostprocessPipeline, *, res, batch,
                            ("pse", host["pse_half"][i])):
             # same linear upsample the device used for the reduction —
             # host float64-indexed taps, so the written uint8 heatmaps
-            # match the host-preprocess path
-            up = resize_linear_matmul_np(half, target_size, (0, 1, 2),
+            # match the host-preprocess path (f16 transfer widened back)
+            up = resize_linear_matmul_np(half.astype(np.float32),
+                                         target_size, (0, 1, 2),
                                          align_corners=True) * ess
             rec[f"{name}_dense"] = up
         pipe.emit(uid, {

@@ -123,6 +123,19 @@ def _vmem_limit() -> int:
     return max(32 * 1024 * 1024, _VMEM_BUDGET + 14 * 1024 * 1024)
 
 
+_PATCH_BUFS = 1
+
+
+def set_roll_patch_bufs(n: int) -> None:
+    """1 | 2 | 3 rotating tap-patch buffers (chip A/B hook).  With one
+    buffer the VPU patch build and the MXU matmuls fully serialize (the
+    next depth tap's build has a WAR hazard on the patch the matmuls
+    are reading); extra buffers break the hazard so Mosaic can overlap
+    the streams."""
+    global _PATCH_BUFS
+    _PATCH_BUFS = int(n)
+
+
 def set_roll_patch_scheme(scheme: str) -> None:
     """'auto' | 'compact' | 'wide' — chip-probe override hook."""
     global _PATCH_SCHEME
@@ -167,7 +180,7 @@ def _plan(shape: Tuple[int, ...], o: int, itemsize: int,
             continue
         wtp = _round_up(wt + 2, 8)
         ring = 5 * hp * wtp * c2 * itemsize
-        patch = hp * wt * kb * c2 * itemsize
+        patch = hp * wt * kb * c2 * itemsize * _PATCH_BUFS
         weights = 9 * kb * c2 * o2p * itemsize
         acc = 2 * h * wt * o2p * 4
         stage = 2 * h * wt * o2p * itemsize
@@ -217,7 +230,8 @@ def _edge_block(plane, WT: int, C2: int):
 
 def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patch,
                  stage, in_sems, out_sems, *, D: int, H: int, WT: int,
-                 WTP: int, C2: int, O2: int, relu: bool, KB: int):
+                 WTP: int, C2: int, O2: int, relu: bool, KB: int,
+                 NPB: int):
     b = pl.program_id(0)
     wt_i = pl.program_id(1)
     HP = H + 2
@@ -253,14 +267,16 @@ def _kernel_body(x_hbm, w_ref, scale_ref, shift_ref, out_hbm, ring, patch,
             di = dout + dd - 1
             slot = jnp.where((di >= 0) & (di < D), jax.lax.rem(di, 4), 4)
             plane = ring[pl.ds(slot, 1)][0]          # (HP, WTP, C2)
+            pb = dd % NPB        # rotate: no WAR hazard on the live patch
             if KB == 2:                              # compact: p0 + edge
-                patch[:, :, 0:C2] = plane[:, 1:1 + WT, :]
-                patch[:, :, C2:2 * C2] = _edge_block(plane, WT, C2)
+                patch[pb, :, :, 0:C2] = plane[:, 1:1 + WT, :]
+                patch[pb, :, :, C2:2 * C2] = _edge_block(plane, WT, C2)
             else:
                 for p in range(3):
-                    patch[:, :, p * C2:(p + 1) * C2] = plane[:, p:p + WT, :]
+                    patch[pb, :, :, p * C2:(p + 1) * C2] = \
+                        plane[:, p:p + WT, :]
             for dh in range(3):
-                a = patch[pl.ds(dh, H)].reshape(H * WT, KB * C2)
+                a = patch[pb, pl.ds(dh, H)].reshape(H * WT, KB * C2)
                 acc = acc + jnp.dot(a, w_ref[dd, dh],
                                     preferred_element_type=jnp.float32)
 
@@ -327,7 +343,8 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
     shift = jnp.pad(shift.astype(jnp.float32), (0, O2P - O2)).reshape(1, O2P)
 
     body = functools.partial(_kernel_body, D=D, H=H, WT=WT, WTP=WTP,
-                             C2=C2, O2=O2P, relu=relu, KB=KB)
+                             C2=C2, O2=O2P, relu=relu, KB=KB,
+                             NPB=_PATCH_BUFS)
     out = pl.pallas_call(
         body,
         grid=(B, WhP // WT),
@@ -339,7 +356,8 @@ def _roll_conv_impl(xp: jax.Array, kernel: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, D, H, WhP, O2P), xp.dtype),
         scratch_shapes=[
             pltpu.VMEM((5, HP, WTP, C2), xp.dtype),    # plane ring + zero
-            pltpu.VMEM((HP, WT, KB * C2), xp.dtype),   # tap patch
+            pltpu.VMEM((_PATCH_BUFS, HP, WT, KB * C2),
+                       xp.dtype),                      # tap patch ring
             pltpu.VMEM((2, H, WT, O2P), xp.dtype),     # out staging
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
