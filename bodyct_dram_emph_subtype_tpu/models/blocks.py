@@ -474,13 +474,15 @@ def max_pool_3d_k3s2p1(x, train: bool = False):
     if _CONV3D_MODE == "roll" and not train:
         from ..ops.maxpool_kernel import (max_pool_k3s2p1_pallas,
                                           supports_maxpool_pallas)
+        from ..parallel.mesh import mesh_fast_path_ok, shard_map_data
         from . import packed as _packed
         n = 1
         for s in x.shape[1:]:
             n *= s
         if (n >= _packed._ROLL_MIN_ELEMS
+                and mesh_fast_path_ok(x.shape[0])
                 and supports_maxpool_pallas(x.shape, x.dtype.itemsize)):
-            return max_pool_k3s2p1_pallas(x)
+            return shard_map_data(max_pool_k3s2p1_pallas, x)
     return nn.max_pool(x, window_shape=(3, 3, 3), strides=(2, 2, 2),
                        padding=[(1, 1)] * 3)
 

@@ -249,12 +249,22 @@ def _roll_mode_supported(xp_shape, kernel_shape, itemsize: int) -> bool:
     measured on the v5e (DEVNOTES round 3), the kernel beats XLA on the
     half-resolution stages (64x112x72 packed, >=66M input elements) but
     loses on the quarter-resolution us1 stage (32x56x36, 8M — DMA-bound,
-    5.5 ms vs XLA's ~2.6), so small stages keep the XLA lowering."""
+    5.5 ms vs XLA's ~2.6), so small stages keep the XLA lowering.
+
+    Under a multi-device mesh (``parallel.mesh.set_active_mesh``) the
+    kernel runs per data shard via ``shard_map_data`` — the gate then also
+    requires a data-pure mesh and a divisible batch
+    (``mesh_fast_path_ok``); per-SHARD shapes differ from the global shape
+    only in B, which no tile plan consults, so the shape gate itself is
+    shard-invariant."""
     from .blocks import get_conv3d_mode
     if get_conv3d_mode() != "roll":
         return False
     b, d, h, wh, c2 = xp_shape
     if d * h * wh * c2 < _ROLL_MIN_ELEMS:
+        return False
+    from ..parallel.mesh import mesh_fast_path_ok
+    if not mesh_fast_path_ok(b):
         return False
     from ..ops.roll_conv import supports_roll_conv
     return supports_roll_conv(tuple(xp_shape), tuple(kernel_shape), itemsize)
@@ -286,7 +296,9 @@ class PackedConv3(nn.Module):
         if _roll_mode_supported(xp.shape, kernel.shape,
                                 jnp.dtype(dtype).itemsize):
             from ..ops.roll_conv import roll_conv_packed
-            out = roll_conv_packed(xp.astype(dtype), kernel.astype(dtype))
+            from ..parallel.mesh import shard_map_data
+            out = shard_map_data(roll_conv_packed, xp.astype(dtype),
+                                 kernel.astype(dtype))
         else:
             kp = build_packed_kernel_k3(kernel.astype(dtype))
             out = jax.lax.conv_general_dilated(
@@ -373,12 +385,14 @@ def packed_stage(conv: PackedConv3, norm: PackedNormWrapper, xp, train: bool):
             and _roll_mode_supported(xp.shape, kshape,
                                      jnp.dtype(dtype).itemsize)):
         from ..ops.roll_conv import roll_conv_affine_relu
+        from ..parallel.mesh import shard_map_data
         kernel, bias = conv(xp, return_params=True)
         dummy = jnp.zeros((1, 1, 1, 1, 2 * ch), xp.dtype)
         mul, add = norm(dummy, train, return_affine=True)   # logical (ch,)
         shift = bias.astype(jnp.float32) * mul + add
-        return roll_conv_affine_relu(xp.astype(dtype), kernel.astype(dtype),
-                                     jnp.tile(mul, 2), jnp.tile(shift, 2))
+        return shard_map_data(roll_conv_affine_relu, xp.astype(dtype),
+                              kernel.astype(dtype),
+                              jnp.tile(mul, 2), jnp.tile(shift, 2))
     return nn.relu(norm(conv(xp), train))
 
 
@@ -417,17 +431,19 @@ class PackedBasicBlock(nn.Module):
         if ((not train) and _roll_mode_supported(
                 xp.shape, kshape, jnp.dtype(dtype).itemsize)):
             from ..ops.roll_conv import roll_conv_affine_relu
+            from ..parallel.mesh import shard_map_data
             dummy = jnp.zeros((1, 1, 1, 1, 2 * self.planes), xp.dtype)
             k1, _ = conv1(xp, return_params=True)
             m1, a1 = bn1(dummy, False, return_affine=True)
-            out = roll_conv_affine_relu(xp.astype(dtype), k1.astype(dtype),
-                                        jnp.tile(m1, 2), jnp.tile(a1, 2))
+            out = shard_map_data(roll_conv_affine_relu, xp.astype(dtype),
+                                 k1.astype(dtype),
+                                 jnp.tile(m1, 2), jnp.tile(a1, 2))
             k2, _ = conv2(out, return_params=True)
             m2, a2 = bn2(dummy, False, return_affine=True)
-            out = roll_conv_affine_relu(out[..., :2 * self.planes],
-                                        k2.astype(dtype),
-                                        jnp.tile(m2, 2), jnp.tile(a2, 2),
-                                        relu=False)
+            out = shard_map_data(
+                functools.partial(roll_conv_affine_relu, relu=False),
+                out[..., :2 * self.planes], k2.astype(dtype),
+                jnp.tile(m2, 2), jnp.tile(a2, 2))
             return nn.relu(out[..., :2 * self.planes]
                            + xp.astype(out.dtype))
         out = nn.relu(bn1(conv1(xp), train))
@@ -457,6 +473,9 @@ def supports_fused_layer(xp_shape, planes: int, n_blocks: int,
     from .blocks import get_conv3d_mode
     if get_conv3d_mode() != "roll":
         return False
+    from ..parallel.mesh import mesh_fast_path_ok
+    if not mesh_fast_path_ok(xp_shape[0]):
+        return False
     from ..ops.layer1_kernel import supports_fused_layer1
     return supports_fused_layer1(tuple(xp_shape), planes, n_blocks,
                                  itemsize)
@@ -469,6 +488,9 @@ def supports_fused_pool_layer(x_shape, planes: int, n_blocks: int,
     kernel's shape/VMEM gate on the PRE-POOL NDHWC stem activation."""
     from .blocks import get_conv3d_mode
     if get_conv3d_mode() != "roll":
+        return False
+    from ..parallel.mesh import mesh_fast_path_ok
+    if not mesh_fast_path_ok(x_shape[0]):
         return False
     from ..ops.layer1_kernel import supports_fused_pool_layer1
     return supports_fused_pool_layer1(tuple(x_shape), planes, n_blocks,
@@ -484,6 +506,9 @@ def supports_fused_heads(xp_shape, ch: int, n_heads: int,
         return False
     b, d, h, wh, c2 = xp_shape
     if d * h * wh * c2 < _ROLL_MIN_ELEMS:
+        return False
+    from ..parallel.mesh import mesh_fast_path_ok
+    if not mesh_fast_path_ok(b):
         return False
     from ..ops.roll_conv import supports_roll_heads
     return supports_roll_heads(xp_shape, (3, 3, 3, c2 // 2, ch), n_heads,
@@ -508,9 +533,11 @@ def packed_stage_heads(conv: PackedConv3, norm: PackedNormWrapper, xp,
     mul, add = norm(dummy, False, return_affine=True)      # logical (ch,)
     shift = bias.astype(jnp.float32) * mul + add
     from ..ops.roll_conv import roll_conv_heads_sigmoid
-    out = roll_conv_heads_sigmoid(xp.astype(dtype), kernel.astype(dtype),
-                                  jnp.tile(mul, 2), jnp.tile(shift, 2),
-                                  head_w, head_b, interpret=interpret)
+    from ..parallel.mesh import shard_map_data
+    out = shard_map_data(
+        functools.partial(roll_conv_heads_sigmoid, interpret=interpret),
+        xp.astype(dtype), kernel.astype(dtype),
+        jnp.tile(mul, 2), jnp.tile(shift, 2), head_w, head_b)
     return unpack_w(out)
 
 

@@ -78,6 +78,9 @@ def use_quad_stem(x_shape, train: bool, packed_decoder: bool,
         return False
     if not _QUAD_STEM_ENABLE:
         return False
+    from ..parallel.mesh import mesh_fast_path_ok
+    if not mesh_fast_path_ok(x_shape[0]):
+        return False
     import jax.numpy as _jnp
     itemsize = _jnp.dtype(dtype).itemsize if dtype is not None else 4
     return stem_quad_supported(tuple(x_shape), 64, itemsize)
@@ -121,16 +124,19 @@ class _Trunk(nn.Module):
             dummy = jnp.zeros((1, 1, 1, 1, 128), dtype)
             mul, add = NormWrapper(dtype=self.dtype, name="bn1")(
                 dummy, train, return_affine=True)     # logical (64,) f32
+            from ..parallel.mesh import shard_map_data
             if supports_fused_stem(x.shape, 64, jnp.dtype(dtype).itemsize):
                 # one Pallas pass: conv+BN+ReLU+maxpool, stem written once
+                import functools
                 kernel = conv1(x, return_params=True)
-                xq, pooled = fused_stem_pool(x, kernel, mul, add,
-                                             dtype=dtype)
+                xq, pooled = shard_map_data(
+                    functools.partial(fused_stem_pool, dtype=dtype),
+                    x, kernel, mul, add)
             else:
                 xq = conv1(x)                         # (B,D2,H2,Wq,256)
                 xq = nn.relu(xq.astype(jnp.float32) * jnp.tile(mul, 4)
                              + jnp.tile(add, 4)).astype(xq.dtype)
-                pooled = max_pool_quads(xq)
+                pooled = shard_map_data(max_pool_quads, xq)
             xp = unpack_w(pooled)                     # /4, NDHWC
             x = xq                                    # quad stem skip
         else:
@@ -179,8 +185,9 @@ class _Trunk(nn.Module):
                 ks += [k1.astype(dtype), k2.astype(dtype)]
                 mls += [m1, m2]
                 ads += [a1, a2]
-            return unpack_w(fused_pool_layer1(x.astype(dtype), ks, mls,
-                                              ads))
+            from ..parallel.mesh import shard_map_data
+            return unpack_w(shard_map_data(fused_pool_layer1,
+                                           x.astype(dtype), ks, mls, ads))
         # stride-1 dilation-1 identity-shortcut BasicBlock layers (layer1)
         # run whole-layer W-pair packed under conv mode 'roll': 64-channel
         # convs at 128 lanes through the rolling-ring kernel, BN/ReLU/
@@ -210,7 +217,9 @@ class _Trunk(nn.Module):
                     ks += [k1.astype(dtype), k2.astype(dtype)]
                     mls += [m1, m2]
                     ads += [a1, a2]
-                return unpack_w(fused_layer1(xp, ks, mls, ads))
+                from ..parallel.mesh import shard_map_data
+                return unpack_w(shard_map_data(fused_layer1, xp,
+                                               ks, mls, ads))
             wpair = supports_packed_layer(xp_shape, planes, itemsize)
         if wpair:
             pb_cls = (nn.remat(PackedBasicBlock, static_argnums=(2,))
@@ -280,7 +289,9 @@ class _Trunk(nn.Module):
                         ks += [k1.astype(dtype), k2.astype(dtype)]
                         mls += [m1, m2]
                         ads += [a1, a2]
-                    return unpack_w(fused_layer1(xp, ks, mls, ads))
+                    from ..parallel.mesh import shard_map_data
+                    return unpack_w(shard_map_data(fused_layer1, xp,
+                                                   ks, mls, ads))
             for i in range(1, blocks):
                 x = block_cls(planes, 1, eff_dil, use_downsample=False,
                               dtype=self.dtype, name=f"{name}_{i}")(x, train)

@@ -56,6 +56,106 @@ def get_mesh(spec: Optional[MeshSpec] = None,
     return Mesh(arr, ("data", "spatial", "model"))
 
 
+# ---------------------------------------------------------------------------
+# Active mesh: how the Pallas fast path becomes multi-chip-capable.
+#
+# pallas_call is an opaque custom call to GSPMD — under a >1-device jit it
+# would be computed fully replicated (all-gather + redundant compute), so by
+# itself the 'roll'/fused-kernel fast path was single-device-only.  The fix:
+# model code registers the training/eval mesh here, and every batch-leading
+# Pallas kernel call site routes through :func:`shard_map_data`, which wraps
+# the kernel in ``jax.shard_map`` over the 'data' axis (batch-sharded, all
+# weights replicated).  The kernels are batch-independent (their tile plans
+# never consult B), so the per-shard program is the same program — gradients
+# of replicated weights get the structural psum from shard_map's transpose,
+# which IS the DDP gradient allreduce (reference ``train.py:70``).
+#
+# The fast path engages only on data-pure slices of the mesh: when 'spatial'
+# or 'model' have extent (activations sharded inside a volume / over
+# channels) the per-shard halo/channel math would be wrong, so
+# :func:`mesh_fast_path_ok` returns False and the callers' supports_* gates
+# fall back to the XLA lowering, which GSPMD partitions natively — loudly,
+# once per reason.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Optional[Mesh] = None
+_FALLBACK_WARNED: set = set()
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh Pallas fast-path ops partition over (or None to
+    disengage).  Trace-time state: set it before jit-tracing model code."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    _FALLBACK_WARNED.clear()
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def _warn_once(key, msg, *args):
+    if key not in _FALLBACK_WARNED:
+        _FALLBACK_WARNED.add(key)
+        logger.warning(msg, *args)
+
+
+def _engaged_data_mesh(batch: int) -> Optional[Mesh]:
+    """The active mesh when the Pallas fast path should shard_map over
+    'data' for a batch of this size; None when a plain (single-device)
+    call is the right thing.  Callers must ALSO gate on
+    :func:`mesh_fast_path_ok` so unsupported cases take the XLA lowering
+    instead of an unpartitioned pallas_call."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size <= 1:
+        return None
+    if mesh.shape.get("spatial", 1) > 1 or mesh.shape.get("model", 1) > 1:
+        return None
+    n_data = mesh.shape.get("data", 1)
+    if n_data <= 1 or batch % n_data:
+        return None
+    return mesh
+
+
+def mesh_fast_path_ok(batch: int) -> bool:
+    """Gate component for the Pallas fast path under a multi-device mesh:
+    True when no multi-device mesh is engaged (plain call) or when
+    :func:`shard_map_data` can carry the op (data-only mesh, divisible
+    batch).  False => the caller must use its XLA lowering, which GSPMD
+    partitions; warns once per reason so the perf cliff is visible."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size <= 1:
+        return True
+    if mesh.shape.get("spatial", 1) > 1 or mesh.shape.get("model", 1) > 1:
+        _warn_once(("axes",), "Pallas fast path disabled: mesh has "
+                   "spatial/model extents %s — using the XLA lowering "
+                   "(GSPMD-partitioned)", dict(mesh.shape))
+        return False
+    n_data = mesh.shape.get("data", 1)
+    if batch % n_data:
+        _warn_once(("batch", batch), "Pallas fast path disabled: batch %d "
+                   "not divisible by mesh data axis %d — using the XLA "
+                   "lowering", batch, n_data)
+        return False
+    return True
+
+
+def shard_map_data(fn, x, *replicated):
+    """Call ``fn(x, *replicated)`` partitioned over the active mesh's
+    'data' axis (``x`` batch-sharded, the rest replicated); a plain call
+    when no multi-device data mesh is engaged.  ``replicated`` entries may
+    be arbitrary pytrees (e.g. weight lists).  Gradients flow through
+    (shard_map transposes the replicated in_specs into psums — the DDP
+    gradient allreduce)."""
+    mesh = _engaged_data_mesh(x.shape[0])
+    if mesh is None:
+        return fn(x, *replicated)
+    in_specs = (P("data"),) + tuple(P() for _ in replicated)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("data"), check_vma=False)(
+                             x, *replicated)
+
+
 def shard_params_tp(mesh: Mesh, tree):
     """Tensor-parallel parameter placement: conv kernels (and their
     channel-wise affine/bias/stats companions) shard the output-channel dim

@@ -209,6 +209,158 @@ def test_graft_entry_single_chip_small():
     assert np.isfinite(np.asarray(regs[0])).all()
 
 
+def test_roll_fast_path_matches_direct_under_data_mesh(setup):
+    """The PRODUCTION fast path (packed decoder + conv mode 'roll', every
+    fused Pallas kernel engaged via ``_ROLL_MIN_ELEMS = 0``) must run
+    multi-chip: under a data=2 mesh the kernel call sites shard_map over
+    'data' (``parallel/mesh.py``) and the result must equal the XLA
+    'direct' lowering on the same mesh (VERDICT r3 next-step #1)."""
+    from bodyct_dram_emph_subtype_tpu.models import blocks
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+    from bodyct_dram_emph_subtype_tpu.parallel import mesh as mesh_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, _, _, host_batch = setup
+    hb = _slice_batch(host_batch, 2)
+    model = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    x = jnp.asarray(hb["image"])[..., None]
+    lungs = jnp.asarray(hb["lung_mask"])[..., None]
+    variables = model.init(jax.random.PRNGKey(0), x, lungs, train=False)
+
+    fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False))
+    mesh = get_mesh(MeshSpec(data=2), devices=jax.devices()[:2])
+    sb = shard_batch(mesh, {"image": hb["image"],
+                            "lung_mask": hb["lung_mask"]})
+    xs, ls = sb["image"][..., None], sb["lung_mask"][..., None]
+
+    # direct lowering on the same mesh = the reference result
+    dense_ref, regs_ref = fwd(variables, xs, ls)
+
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    n_wrapped = 0
+    orig_wrap = mesh_mod.shard_map_data
+
+    def counting_wrap(fn, x, *reps):
+        nonlocal n_wrapped
+        if mesh_mod._engaged_data_mesh(x.shape[0]) is not None:
+            n_wrapped += 1
+        return orig_wrap(fn, x, *reps)
+
+    saved = orig_wrap
+    try:
+        packed_mod._ROLL_MIN_ELEMS = 0
+        blocks.set_conv3d_mode("roll")
+        mesh_mod.set_active_mesh(mesh)
+        # call sites do `from ..parallel.mesh import shard_map_data` at
+        # call time, so patching the module attribute counts every use
+        mesh_mod.shard_map_data = counting_wrap
+        with pltpu.force_tpu_interpret_mode():
+            fwd_roll = jax.jit(
+                lambda v, x, l: model.apply(v, x, l, train=False))
+            dense_roll, regs_roll = fwd_roll(variables, xs, ls)
+            _ = np.asarray(regs_roll[0])
+    finally:
+        mesh_mod.shard_map_data = saved
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+        blocks.set_conv3d_mode("direct")
+        mesh_mod.set_active_mesh(None)
+
+    assert n_wrapped >= 5, (
+        f"only {n_wrapped} Pallas call sites took the shard_map path — "
+        "the fast path silently fell back")
+    np.testing.assert_allclose(np.asarray(regs_roll[0]),
+                               np.asarray(regs_ref[0]), rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense_roll[0]),
+                               np.asarray(dense_ref[0]), rtol=2e-2, atol=2e-3)
+
+
+def test_roll_train_step_under_data_mesh(setup):
+    """A full TRAIN step in the production fast configuration (packed
+    decoder, conv mode 'roll' — Pallas forward + custom_vjp dgrad/wgrad)
+    over a data=2 mesh: must run and match the direct lowering's loss
+    (shard_map transposes replicated weights into psums = the DDP grad
+    allreduce)."""
+    from bodyct_dram_emph_subtype_tpu.models import blocks
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+    from bodyct_dram_emph_subtype_tpu.parallel import mesh as mesh_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, tx, _, host_batch = setup
+    hb = _slice_batch(host_batch, 2)
+    model = ResNetSegReg(layers=(1, 1, 1, 1), packed_decoder=True)
+    x = jnp.zeros((1, 16, 32, 32, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    state = TrainState.create(dict(variables), tx)
+    args = (jnp.asarray(1e-3), jnp.ones(6, jnp.float32) / 6,
+            jnp.ones(3, jnp.float32) / 3, jax.random.PRNGKey(1))
+    mesh = get_mesh(MeshSpec(data=2), devices=jax.devices()[:2])
+    sb = shard_batch(mesh, hb)
+
+    step_ref = make_reg_train_step(model, tx, num_data_shards=2,
+                                   augment=False)
+    s_ref, m_ref, _ = step_ref(state, sb, *args)
+    loss_ref = float(m_ref["loss"])
+
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    try:
+        packed_mod._ROLL_MIN_ELEMS = 0
+        blocks.set_conv3d_mode("roll")
+        mesh_mod.set_active_mesh(mesh)
+        step_roll = make_reg_train_step(model, tx, num_data_shards=2,
+                                        augment=False)
+        with pltpu.force_tpu_interpret_mode():
+            s_roll, m_roll, _ = step_roll(state, sb, *args)
+            loss_roll = float(m_roll["loss"])
+    finally:
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+        blocks.set_conv3d_mode("direct")
+        mesh_mod.set_active_mesh(None)
+
+    np.testing.assert_allclose(loss_roll, loss_ref, rtol=1e-3)
+    # params moved, and roll-vs-direct updates agree within the Adam
+    # lr scale (same bound rationale as test_dp_matches_single_device)
+    lr = 1e-3
+    mismatched = 0
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_roll.params)),
+                    jax.tree.leaves(jax.device_get(s_ref.params))):
+        mismatched += int((np.abs(np.asarray(a) - np.asarray(b))
+                           > 2.1 * lr).sum())
+    assert mismatched == 0
+
+
+def test_mesh_fast_path_gates():
+    """Gate semantics of the multi-chip fast path: engaged only on
+    data-pure meshes with divisible batches; spatial/model extents or
+    ragged batches fall back (the XLA lowering, GSPMD-partitioned)."""
+    from bodyct_dram_emph_subtype_tpu.parallel import mesh as mesh_mod
+
+    try:
+        mesh_mod.set_active_mesh(None)
+        assert mesh_mod.mesh_fast_path_ok(3)           # no mesh: plain call
+
+        mesh = get_mesh(MeshSpec(data=2), devices=jax.devices()[:2])
+        mesh_mod.set_active_mesh(mesh)
+        assert mesh_mod.mesh_fast_path_ok(4)
+        assert mesh_mod._engaged_data_mesh(4) is mesh
+        assert not mesh_mod.mesh_fast_path_ok(3)       # ragged batch
+        assert mesh_mod._engaged_data_mesh(3) is None
+
+        mesh_sp = get_mesh(MeshSpec(data=2, spatial=2),
+                           devices=jax.devices()[:4])
+        mesh_mod.set_active_mesh(mesh_sp)
+        assert not mesh_mod.mesh_fast_path_ok(4)       # spatial extent
+        assert mesh_mod._engaged_data_mesh(4) is None
+
+        mesh1 = get_mesh(MeshSpec(data=1), devices=jax.devices()[:1])
+        mesh_mod.set_active_mesh(mesh1)
+        assert mesh_mod.mesh_fast_path_ok(5)           # size-1: plain call
+        assert mesh_mod._engaged_data_mesh(5) is None
+    finally:
+        mesh_mod.set_active_mesh(None)
+
+
 @pytest.mark.slow
 def test_graft_dryrun_multichip():
     import sys
