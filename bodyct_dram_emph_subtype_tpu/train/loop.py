@@ -101,6 +101,11 @@ class TrainerConfig:
     # "threefry" (per-sample counter RNG, stream-stable) or "rbg" (one
     # hoisted XLA RngBitGenerator draw per batch — the TPU hardware fast
     # path; stream not stable across backends/versions)
+    grad_accum: int = 1                  # gradient-accumulation microbatches
+    # per step (reg strategy): batch_size stays the EFFECTIVE per-chip
+    # batch (reference CLI semantics, train.py:42) but the compiled
+    # program only ever holds batch_size/grad_accum samples (lax.scan) —
+    # how batches beyond the B=4 per-chip compile/HBM ceiling run
 
     @property
     def exp_name(self):
@@ -132,6 +137,10 @@ class SubtypeTrainer:
                                  f"only {len(jax.devices())} available")
             mesh = get_mesh(spec, devices=jax.devices()[:spec.size])
         self.mesh = mesh
+        # multi-chip fast path: Pallas kernel call sites shard_map over this
+        # mesh's data axis (parallel/mesh.py); must precede model tracing
+        from ..parallel.mesh import set_active_mesh
+        set_active_mesh(mesh)
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
         # remat: recompute block activations in backward — the v5e HBM
         # budget needs it for batch >= 2 at the deployment input size
@@ -146,10 +155,16 @@ class SubtypeTrainer:
         from ..transforms.batch_augment import set_noise_rng
         set_noise_rng(config.noise_rng)
         make = make_reg_train_step if self.mode == "reg" else make_cls_train_step
-        self._train_step = make(self.model, self.tx, n_data,
-                                fused_input=fused,
-                                target_size=tuple(config.target_size),
-                                donate=True)
+        step_kwargs = dict(fused_input=fused,
+                           target_size=tuple(config.target_size),
+                           donate=True)
+        if self.mode == "reg" and config.grad_accum > 1:
+            if config.batch_size % config.grad_accum:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must divide by "
+                    f"grad_accum {config.grad_accum}")
+            step_kwargs["accum_steps"] = config.grad_accum
+        self._train_step = make(self.model, self.tx, n_data, **step_kwargs)
         self._eval_step = make_eval_step(self.model, self.mode)
         self._predict_step = make_predict_step(self.model)
         self.state: Optional[TrainState] = None

@@ -101,19 +101,33 @@ def _batch_inputs(batch, fused_input, target_size):
 
 def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
                         augment: bool = True, fused_input: bool = False,
-                        target_size=(128, 224, 288), donate: bool = False):
+                        target_size=(128, 224, 288), donate: bool = False,
+                        accum_steps: int = 1):
     """dRAM (regression) training step (``models.py:539-592`` TRAIN branch).
 
     ``donate=True`` donates the incoming ``state`` buffers to the update
     (params + opt state alias in place, saving one full copy of both in
     HBM) — only safe when the caller overwrites its reference, i.e. the
     ``state = step(state, ...)`` pattern of the training loop.
+
+    ``accum_steps > 1``: gradient accumulation — the batch splits into
+    ``accum_steps`` microbatches run sequentially inside ONE jit via
+    ``lax.scan`` (grads averaged, a single Adam update).  This scales the
+    effective batch past the per-chip compile/HBM ceiling with the
+    program size of one microbatch (the reference scales batch freely on
+    GPU, ``train.py:42``; here B>4 whole-batch programs die in remote
+    compile — DEVNOTES round 3e).  Semantics: standard grad accumulation —
+    each microbatch's forward normalizes with its OWN batch statistics
+    (== DDP across ``accum_steps`` more ranks with per-rank BN), running
+    stats chain through the scan; grad-mean over microbatches of the
+    per-microbatch sum losses == the reference's DDP grad-mean at world
+    size ``accum_steps * num_data_shards``.
     """
     tx = tx or make_optimizer()
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, batch: Dict[str, jax.Array], lr,
-             cle_class_weights, pse_class_weights, key):
+    def _micro_grads(state: TrainState, batch, lr, cle_class_weights,
+                     pse_class_weights, key):
+        """Grads + metrics/preds for one (micro)batch at fixed params."""
         images, lungs, ems = _batch_inputs(batch, fused_input, target_size)
         if augment:
             # masks are only ever consumed at dense-map resolution (masked
@@ -161,8 +175,6 @@ def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
             return loss, aux
 
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
-        new_state = apply_updates(state, grads, tx, lr)
-        new_state = new_state.replace(batch_stats=aux["batch_stats"])
         preds = {
             "pred_cle_labels": ratio_to_label_batch(aux["regs"][0], CLE_RATIO_MAP),
             "pred_pse_labels": ratio_to_label_batch(aux["regs"][1], PSE_RATIO_MAP),
@@ -170,9 +182,45 @@ def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
         }
         metrics = {k: aux[k] for k in
                    ("loss", "loss_cle", "loss_pse", "mul_loss", "seg_loss")}
+        return grads, aux["batch_stats"], metrics, preds
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, batch: Dict[str, jax.Array], lr,
+             cle_class_weights, pse_class_weights, key):
+        grads, new_stats, metrics, preds = _micro_grads(
+            state, batch, lr, cle_class_weights, pse_class_weights, key)
+        new_state = apply_updates(state, grads, tx, lr)
+        new_state = new_state.replace(batch_stats=new_stats)
         return new_state, metrics, preds
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step_accum(state: TrainState, batch: Dict[str, jax.Array], lr,
+                   cle_class_weights, pse_class_weights, key):
+        b = batch["cls_label"].shape[0]
+        assert b % accum_steps == 0, (b, accum_steps)
+        micro = {k: v.reshape(accum_steps, b // accum_steps, *v.shape[1:])
+                 for k, v in batch.items()}
+        keys = jax.random.split(key, accum_steps)
+
+        def body(carry, mb_and_key):
+            st, gsum = carry
+            mb, k = mb_and_key
+            grads, stats, metrics, preds = _micro_grads(
+                st, mb, lr, cle_class_weights, pse_class_weights, k)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (st.replace(batch_stats=stats), gsum), (metrics, preds)
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        (st, gsum), (metrics_s, preds_s) = jax.lax.scan(
+            body, (state, gzero), (micro, keys))
+        grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+        new_state = apply_updates(
+            state.replace(batch_stats=st.batch_stats), grads, tx, lr)
+        metrics = jax.tree.map(jnp.mean, metrics_s)
+        preds = jax.tree.map(lambda p: p.reshape(b, *p.shape[2:]), preds_s)
+        return new_state, metrics, preds
+
+    return step_accum if accum_steps > 1 else step
 
 
 def make_cls_train_step(model, tx=None, num_data_shards: int = 1,

@@ -166,3 +166,65 @@ def test_evaluate_produces_metrics(archive, tmp_path):
     metrics = trainer.evaluate("test", epoch=0)
     assert 0.0 <= metrics["epoch_test_acc_cle"] <= 1.0
     assert 0.0 <= metrics["epoch_test_acc_pse"] <= 1.0
+
+
+def test_grad_accum_matches_single_step_on_repeated_microbatch():
+    """Gradient accumulation (``make_reg_train_step(accum_steps=2)``):
+    a batch made of two IDENTICAL microbatches must produce exactly the
+    parameter update of one plain step on a single microbatch (grad-mean
+    of equal grads == the grad; per-microbatch BN stats equal too), and
+    stack the per-microbatch predictions back to full batch order."""
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegReg
+    from bodyct_dram_emph_subtype_tpu.train import (
+        TrainState, make_optimizer, make_reg_train_step)
+
+    import optax
+
+    rng = np.random.RandomState(0)
+    shape = (8, 16, 16)
+    model = ResNetSegReg(layers=(1, 1, 1, 1))
+    x0 = jnp.zeros((1, *shape, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    # identity transform (plain SGD): the update is LINEAR in the grads, so
+    # param deltas compare the accumulated grad directly.  Adam's first
+    # step is ~lr*sign(g) — any float-reassociation difference between the
+    # scanned and unscanned programs flips near-zero grads by 2*lr
+    # (DEVNOTES parity notes), which would test XLA fusion, not accum math.
+    tx = optax.identity()
+    state = TrainState.create(dict(v), tx)
+
+    micro = {
+        "image": rng.randn(2, *shape).astype(np.float32),
+        "lung_mask": np.ones((2, *shape), np.float32),
+        "em_mask": (rng.rand(2, *shape) > 0.8).astype(np.float32),
+        "cls_label": np.asarray([1, 3], np.int32),
+        "pse_label": np.asarray([0, 2], np.int32),
+    }
+    full = {k: np.concatenate([v, v]) for k, v in micro.items()}
+    args = (jnp.asarray(1e-3), jnp.ones(6, jnp.float32) / 6,
+            jnp.ones(3, jnp.float32) / 3, jax.random.PRNGKey(7))
+
+    # augment=False so both microbatches see identical inputs (the accum
+    # path folds a distinct key per microbatch by design)
+    step1 = make_reg_train_step(model, tx, augment=False)
+    s1, m1, p1 = step1(state, micro, *args)
+
+    step2 = make_reg_train_step(model, tx, augment=False, accum_steps=2)
+    s2, m2, p2 = step2(state, full, *args)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for p0, a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                        jax.tree.leaves(jax.device_get(s2.params)),
+                        jax.tree.leaves(jax.device_get(s1.params))):
+        # compare the param DELTAS (= -lr * grad under optax.identity)
+        np.testing.assert_allclose(np.asarray(a) - np.asarray(p0),
+                                   np.asarray(b) - np.asarray(p0),
+                                   rtol=1e-4, atol=1e-7)
+    # predictions restore full batch order (microbatch-major)
+    assert np.asarray(p2["cle_labels"]).tolist() == [1, 3, 1, 3]
+    assert np.asarray(p2["pred_cle_labels"]).shape == (4,)
+    # BN running stats: two identical chained updates == applying the
+    # momentum update twice; just require finiteness + movement here
+    stats2 = jax.tree.leaves(jax.device_get(s2.batch_stats))
+    assert all(np.isfinite(s).all() for s in stats2)

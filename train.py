@@ -27,9 +27,15 @@ def run_training_job():
                              "shard batch over data, volume H over spatial "
                              "(halo-exchanged convs), conv channels over "
                              "model (tensor parallel). Overrides --ngpus")
-    parser.add_argument("--momentum", default=0.9, type=float)
+    # --momentum/--weight_decay are accepted for reference-CLI
+    # compatibility but are NOT consumed: the reference constructs plain
+    # Adam(lr) and ignores both too (``models.py:685-698``).  Passing a
+    # non-default value warns instead of silently implying support.
+    parser.add_argument("--momentum", default=None, type=float,
+                        help="ignored (reference parity: Adam uses lr only)")
     parser.add_argument("--reload_only_weights", default=1, type=int)
-    parser.add_argument("--weight_decay", default=1e-5, type=float)
+    parser.add_argument("--weight_decay", default=None, type=float,
+                        help="ignored (reference parity: Adam uses lr only)")
     parser.add_argument("--ckp", type=str, default=None)
     parser.add_argument("--target_size", default=(128, 224, 288),
                         type=parse_size)
@@ -68,6 +74,13 @@ def run_training_job():
                         help="augmentation noise source: per-sample threefry"
                              " (stream-stable) or one batched hardware-RNG"
                              " draw (TPU fast path)")
+    parser.add_argument("--grad_accum", default=1, type=int,
+                        help="gradient-accumulation microbatches per step "
+                             "(reg strategy): batch_size stays the "
+                             "effective batch but the compiled program "
+                             "holds only batch_size/grad_accum samples — "
+                             "scales batch past the per-chip compile/HBM "
+                             "ceiling")
     parser.add_argument("--packed_decoder", action="store_true",
                         help="W-pair packed decoder convs: +10%% step speed "
                              "and less HBM on TPU (numerics equal up to "
@@ -75,6 +88,11 @@ def run_training_job():
     parser.add_argument("--local_rank", default=0, type=int,
                         help="this argument is not used and should be ignored")
     args = parser.parse_args()
+
+    if args.momentum is not None or args.weight_decay is not None:
+        logging.warning("--momentum/--weight_decay are ignored: the "
+                        "optimizer is Adam(lr) exactly like the reference "
+                        "(models.py:685-698)")
 
     if args.multihost:
         import jax
@@ -93,7 +111,8 @@ def run_training_job():
         compute_dtype=args.compute_dtype, profile=args.profile,
         debug_nans=args.debug_nans, input_pipeline=args.input_pipeline,
         pad_shape=args.pad_shape, packed_decoder=args.packed_decoder,
-        mesh=args.mesh, remat=args.remat, noise_rng=args.noise_rng)
+        mesh=args.mesh, remat=args.remat, noise_rng=args.noise_rng,
+        grad_accum=args.grad_accum)
     config.exp_path.mkdir(parents=True, exist_ok=True)
     logging.basicConfig(
         level=logging.DEBUG,
