@@ -124,15 +124,19 @@ def _cached_init_fn(model):
 
 
 @functools.lru_cache(maxsize=4)
-def _cached_predict_step(model, batch_lung_norm: bool = False):
-    """One jitted predict program per (model, mode) for the PROCESS —
-    ``run_inference`` may be called repeatedly (services, benchmarks) and a
-    fresh ``jax.jit`` closure per call would recompile every time."""
+def _cached_predict_step(model, batch_lung_norm: bool = False,
+                         mesh=None):
+    """One jitted predict program per (model, mode, mesh) for the
+    PROCESS — ``run_inference`` may be called repeatedly (services,
+    benchmarks) and a fresh ``jax.jit`` closure per call would recompile
+    every time.  ``mesh`` is a cache key only: the compiled program bakes
+    in the active mesh's shard_map partitioning, so a different mesh must
+    not reuse it."""
     return make_predict_step(model, batch_lung_norm)
 
 
 @functools.lru_cache(maxsize=4)
-def _cached_predict_packed(model, target_size, pad_shape):
+def _cached_predict_packed(model, target_size, pad_shape, mesh=None):
     """Jitted packed-input predict program, cached per static config (same
     recompile-avoidance rationale as :func:`_cached_predict_step`)."""
     import jax
@@ -235,6 +239,53 @@ class _PostprocessPipeline:
         return self.results
 
 
+class _FetchStage:
+    """Dedicated device-fetch thread between dispatch and postprocess.
+
+    The deployment decomposition (``benchmarks/processor_split_probe.py``,
+    DEVNOTES round 3e) gates on the DEVICE FETCH, not host CPU — with the
+    fetch inside the postprocess thread, the tunnel idles while the 1-core
+    host runs its ~0.6 s/scan of upsample/write work.  This stage downloads
+    results (``np.asarray`` — the only reliable completion barrier on this
+    backend) on its own thread and forwards host arrays to the postprocess
+    pipeline, so batch n+1's transfer rides the link while batch n's CPU
+    postprocess runs (numpy/BLAS release the GIL).  ``maxsize=2`` keeps two
+    device batches in flight without queueing enough async transfers to
+    trip the relay's degraded mode (DEVNOTES round 1)."""
+
+    def __init__(self, pipeline: _PostprocessPipeline):
+        self._pipeline = pipeline
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._err is not None:
+                continue
+            try:
+                res, post = item
+                host = {k: np.asarray(v) for k, v in res.items()}
+                self._pipeline.submit(functools.partial(post, host=host))
+            except BaseException as e:  # noqa: BLE001 — reraised in close
+                self._err = e
+
+    def submit(self, res, post):
+        if self._err is not None:
+            raise self._err
+        self._q.put((res, post))
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+
+
 def _device_path(model, state, mesh, dataset, make_loader,
                  target_size, pad_shape,
                  pipeline: _PostprocessPipeline) -> List[int]:
@@ -245,31 +296,38 @@ def _device_path(model, state, mesh, dataset, make_loader,
     from ..ops.packing import pack12_host
 
     n_vox_t = int(np.prod(target_size))
-    predict_packed = _cached_predict_packed(model, target_size, pad_shape)
+    predict_packed = _cached_predict_packed(model, target_size, pad_shape,
+                                        mesh)
 
     view = _RawPredictView(dataset, pad_shape)
-    for batch in make_loader(view):
-        device_in = shard_batch(mesh, {
-            "raw_packed": pack12_host(batch["image_raw"]),
-            "lung_bits": np.packbits(
-                batch["lung_raw"].reshape(len(batch["uid"]), -1),
-                axis=-1, bitorder="little"),
-            "in_sizes": batch["in_sizes"]})
-        # async dispatch — the fetch happens in the postprocess thread so
-        # the next batch's host packing overlaps with this device step
-        res = predict_packed(state, device_in["raw_packed"],
-                             device_in["lung_bits"], device_in["in_sizes"])
-        batch_meta = {k: batch[k] for k in ("uid", "crop_slice",
-                                            "original_size", "oversized")}
-        pipeline.submit(functools.partial(
-            _device_batch_post, res=res, batch=batch_meta,
-            target_size=target_size, n_vox_t=n_vox_t))
+    fetcher = _FetchStage(pipeline)
+    try:
+        for batch in make_loader(view):
+            device_in = shard_batch(mesh, {
+                "raw_packed": pack12_host(batch["image_raw"]),
+                "lung_bits": np.packbits(
+                    batch["lung_raw"].reshape(len(batch["uid"]), -1),
+                    axis=-1, bitorder="little"),
+                "in_sizes": batch["in_sizes"]})
+            # async dispatch — the fetch stage downloads on its own thread
+            # so the next batch's host packing AND the previous batch's
+            # postprocess both overlap this device step + transfer
+            res = predict_packed(state, device_in["raw_packed"],
+                                 device_in["lung_bits"],
+                                 device_in["in_sizes"])
+            batch_meta = {k: batch[k] for k in ("uid", "crop_slice",
+                                                "original_size",
+                                                "oversized")}
+            fetcher.submit(res, functools.partial(
+                _device_batch_post, batch=batch_meta,
+                target_size=target_size, n_vox_t=n_vox_t))
+    finally:
+        fetcher.close()
     return sorted(view.oversized)
 
 
-def _device_batch_post(pipe: _PostprocessPipeline, *, res, batch,
+def _device_batch_post(pipe: _PostprocessPipeline, *, host, batch,
                        target_size, n_vox_t):
-    host = {k: np.asarray(v) for k, v in res.items()}  # completion barrier
     for i, uid in enumerate(batch["uid"]):
         if batch["oversized"][i]:
             continue  # dummy item — re-run on the host path
@@ -404,7 +462,10 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
         if spec is None:
             spec = MeshSpec(data=nchips or len(jax.devices()))
         mesh = get_mesh(spec, devices=jax.devices()[:spec.size])
-    predict_step = _cached_predict_step(model)
+    # multi-chip fast path: Pallas call sites shard_map over 'data'
+    from ..parallel.mesh import set_active_mesh
+    set_active_mesh(mesh)
+    predict_step = _cached_predict_step(model, mesh=mesh)
 
     dataset = SubtypingInference(scan_path, lobe_path)
     if len(dataset) == 0:
