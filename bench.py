@@ -42,6 +42,25 @@ import numpy as np
 
 REFERENCE_A100_E2E_VOLS_PER_SEC = 2.0
 
+# v5e peak dense bf16 matmul throughput — the MFU denominator.  The
+# numerator is the compiler-counted FLOPs of the exact program
+# (``Lowered.cost_analysis()``), which includes the packed layouts'
+# structural-zero FLOPs, so MFU here is "fraction of peak the MXU is fed",
+# not "useful-logical-FLOP efficiency" (the latter is ~2x lower on packed
+# convs; DEVNOTES round-3 kernels quote both).
+V5E_PEAK_FLOPS = 197e12
+
+
+def _program_flops(jitted, *args):
+    """Compiler-counted FLOPs per call of a jitted program (HLO cost
+    analysis on the lowered module — no device compile, so it does not
+    pay the multi-minute remote-compile cost twice)."""
+    try:
+        cost = jitted.lower(*args).cost_analysis()
+        return float(cost.get("flops", float("nan")))
+    except Exception:  # noqa: BLE001 — backend-dependent
+        return float("nan")
+
 BATCH = 4
 PAD_SHAPE = (160, 288, 384)          # static padded raw-CT buffer
 TARGET = (128, 224, 288)             # model input (train.py:30)
@@ -114,8 +133,8 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     out = pipeline(variables, *[jax.device_put(a) for a in host_batches[0]])
     _force_fetch(out)
 
-    schedules = (["interleaved", "puts_first"] if schedule == "auto"
-                 else [schedule])
+    schedules = (["pipelined", "interleaved", "puts_first"]
+                 if schedule == "auto" else [schedule])
 
     def _trial(sched):
         t0 = time.time()
@@ -124,6 +143,22 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
                 out = pipeline(variables,
                                *[jax.device_put(a)
                                  for a in host_batches[it % 2]])
+        elif sched == "pipelined":
+            # true double-buffering with ONE transfer in flight: batch n
+            # computes while batch n+1 uploads, and each upload is blocked
+            # to completion before the next is issued — the relay link
+            # degrades 2-20x when many async transfers pile up (DEVNOTES),
+            # so a single serial transfer stream at full link speed that
+            # overlaps compute is the structural fix for the e2e gap
+            # (VERDICT r3 next-step #2)
+            staged = [jax.device_put(a) for a in host_batches[0]]
+            jax.block_until_ready(staged)
+            for it in range(ITERS):
+                out = pipeline(variables, *staged)
+                if it + 1 < ITERS:
+                    staged = [jax.device_put(a)
+                              for a in host_batches[(it + 1) % 2]]
+                    jax.block_until_ready(staged)
         else:  # puts_first: stage the trial's transfers, then dispatch
             staged = [[jax.device_put(a) for a in host_batches[it % 2]]
                       for it in range(ITERS)]
@@ -132,17 +167,17 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
         _force_fetch(out)
         return ITERS * BATCH / (time.time() - t0)
 
-    e2e_samples = []
+    e2e_by_sched = {s: [] for s in schedules}
     for sched in schedules:
         for _ in range(TRIALS):
-            e2e_samples.append(_trial(sched))
+            e2e_by_sched[sched].append(_trial(sched))
     # the tunnel's degraded episodes last minutes and swing throughput
     # 2-3x; if the whole window looked degraded, wait one out and retry
-    if max(e2e_samples) < 2.0:
+    if max(max(v) for v in e2e_by_sched.values()) < 2.0:
         time.sleep(45)
         for sched in schedules:
             for _ in range(TRIALS):
-                e2e_samples.append(_trial(sched))
+                e2e_by_sched[sched].append(_trial(sched))
 
     dev = [jax.device_put(a) for a in host_batches[0]]
     jax.block_until_ready(dev)
@@ -153,7 +188,8 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
             out = pipeline(variables, *dev)
         _force_fetch(out)
         compute_samples.append(ITERS * BATCH / (time.time() - t0))
-    return e2e_samples, compute_samples
+    flops = _program_flops(pipeline, variables, *dev)
+    return e2e_by_sched, compute_samples, flops
 
 
 def bench_train(jax, jnp):
@@ -215,8 +251,10 @@ def bench_train(jax, jnp):
                 _ = float(m["loss"])
                 ms_samples.append((time.time() - t0) / n * 1e3)
             ms = min(ms_samples)
+            flops = _program_flops(step, state, b, *sargs)
+            accum = _bench_train_accum(jax, jnp, model, tx, r)
             return (batch / (ms / 1e3), batch, ms,
-                    float(np.median(ms_samples)), attempts)
+                    float(np.median(ms_samples)), flops, accum, attempts)
         except Exception as e:  # noqa: BLE001 — OOM at this batch; record
             # the failure per config so a genuine crash in the packed /
             # donated path is distinguishable from an OOM fallback
@@ -226,7 +264,52 @@ def bench_train(jax, jnp):
             continue
         finally:
             set_roll_patch_scheme("auto")
-    return 0.0, 0, 0.0, 0.0, attempts
+    return 0.0, 0, 0.0, 0.0, float("nan"), None, attempts
+
+
+def _bench_train_accum(jax, jnp, model, tx, r):
+    """Effective-batch-8 training via gradient accumulation (2 microbatches
+    of 4 inside one jit via lax.scan) — whole-batch B>=6 programs die in
+    remote compile (DEVNOTES round 3e), so this is how batch scales past
+    the per-chip ceiling (VERDICT r3 next-step #3).  Returns a dict of
+    measured numbers, or None if the config fails (recorded upstream)."""
+    from bodyct_dram_emph_subtype_tpu.train import (TrainState,
+                                                    make_reg_train_step)
+    try:
+        batch = 8
+        x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
+        v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
+            jax.random.PRNGKey(0))
+        state = TrainState.create(dict(v), tx)
+        step = make_reg_train_step(model, tx, num_data_shards=1,
+                                   donate=True, accum_steps=2)
+        b = {
+            "image": jnp.asarray(r.randn(batch, *TARGET).astype(np.float32)),
+            "lung_mask": jnp.ones((batch, *TARGET), jnp.float32),
+            "em_mask": jnp.asarray(
+                (r.rand(batch, *TARGET) > 0.9).astype(np.float32)),
+            "cls_label": jnp.asarray(r.randint(0, 6, batch), jnp.int32),
+            "pse_label": jnp.asarray(r.randint(0, 3, batch), jnp.int32),
+        }
+        sargs = (jnp.asarray(1e-4), jnp.ones(6) / 6, jnp.ones(3) / 3,
+                 jax.random.PRNGKey(1))
+        state, m, _ = step(state, b, *sargs)
+        _ = float(m["loss"])
+        n = 5
+        ms_samples = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(n):
+                state, m, _ = step(state, b, *sargs)
+            _ = float(m["loss"])
+            ms_samples.append((time.time() - t0) / n * 1e3)
+        ms = min(ms_samples)
+        return {"train_accum_vols_per_sec_per_chip": round(batch / (ms / 1e3),
+                                                           2),
+                "train_accum_batch": batch, "train_accum_microbatches": 2,
+                "train_accum_ms_per_step": round(ms, 1)}
+    except Exception as e:  # noqa: BLE001 — report, don't fail the bench
+        return {"train_accum_error": type(e).__name__}
 
 
 def bench_processor(jax):
@@ -267,11 +350,13 @@ def bench_processor(jax):
                       target_size=TARGET, batch_size=2, workers=2, nchips=1,
                       compute_dtype="bfloat16", pad_shape=(160, 160, 160),
                       device_preprocess=True)
-        # warmup (compiles the predict program), then best of two timed
-        # fresh runs (the dev link's throughput swings 2-3x between bursts)
+        # warmup (compiles the predict program), then four timed fresh runs
+        # (median reported alongside best — the dev link's throughput
+        # swings 2-3x between bursts, so n=2 was too weak for round-over-
+        # round comparisons; VERDICT r3 next-step #4)
         run_inference(str(scan_dir), str(lobe_dir), str(out_dir), **kwargs)
         samples = []
-        for _ in range(2):
+        for _ in range(4):
             shutil.rmtree(out_dir)
             out_dir.mkdir()
             t0 = time.time()
@@ -290,9 +375,10 @@ def main():
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-processor", action="store_true")
     # the dev-link's preferred transfer schedule varies over time
-    # (benchmarks/exp_link.py); 'auto' measures both and keeps the best
+    # (benchmarks/exp_link.py); 'auto' measures all and keeps the best
     p.add_argument("--schedule", default="auto",
-                   choices=["auto", "puts_first", "interleaved"])
+                   choices=["auto", "puts_first", "interleaved",
+                            "pipelined"])
     # 'roll' (rolling-ring Pallas kernel on the packed decoder, fused
     # conv+BN+ReLU eval stages) measured fastest for inference in round 3:
     # 198.3 ms fwd @ B=4 vs 209.9 direct (DEVNOTES round-3 findings).  The
@@ -327,7 +413,7 @@ def main():
             from bodyct_dram_emph_subtype_tpu.ops.roll_conv import \
                 set_roll_patch_scheme
             set_roll_patch_scheme(scheme)
-            e2e_samples, compute_samples = bench_inference(
+            e2e_by_sched, compute_samples, fwd_flops = bench_inference(
                 jax, jnp, args.schedule, packed_decoder=(mode == "roll"))
             args.conv_mode = mode
             break
@@ -339,8 +425,13 @@ def main():
 
     # best AND median per metric: the dev tunnel's link throughput swings
     # 2-3x between windows; the median keeps round-over-round comparisons
-    # honest while the best records the code's capability (VERDICT r2 #8)
-    best_e2e = max(e2e_samples)
+    # honest while the best records the code's capability (VERDICT r2 #8).
+    # The median is the BEST SCHEDULE's median — a deployment picks one
+    # transfer schedule, so pooling the losers' samples into the median
+    # would measure the sweep, not the code.
+    best_sched = max(e2e_by_sched, key=lambda s: np.median(e2e_by_sched[s]))
+    e2e_samples = e2e_by_sched[best_sched]
+    best_e2e = max(max(v) for v in e2e_by_sched.values())
     result = {
         "metric": "ct_volumes_per_sec_per_chip_e2e",
         "value": round(best_e2e / n_dev, 3),
@@ -348,7 +439,11 @@ def main():
         "vs_baseline": round(best_e2e / n_dev
                              / REFERENCE_A100_E2E_VOLS_PER_SEC, 3),
         "e2e_median": round(float(np.median(e2e_samples)) / n_dev, 3),
-        "e2e_n_trials": len(e2e_samples),
+        "e2e_schedule": best_sched,
+        "e2e_n_trials": sum(len(v) for v in e2e_by_sched.values()),
+        "e2e_by_schedule": {
+            s: round(float(np.median(v)) / n_dev, 3)
+            for s, v in e2e_by_sched.items()},
         "compute_only_vols_per_sec_per_chip": round(
             max(compute_samples) / n_dev, 3),
         "compute_median": round(float(np.median(compute_samples)) / n_dev, 3),
@@ -356,6 +451,12 @@ def main():
         "model": "med3ddram(resnet34segreg)",
         "conv_mode": args.conv_mode,
     }
+    # MFU of the whole inference pipeline program (compiler-counted FLOPs
+    # incl. packed-layout structural zeros / best compute window / v5e peak)
+    if np.isfinite(fwd_flops):
+        sec_per_call = BATCH / max(compute_samples)
+        result["mfu_fwd"] = round(
+            fwd_flops / sec_per_call / V5E_PEAK_FLOPS, 3)
     if inference_fallbacks:
         result["inference_fallbacks"] = inference_fallbacks
 
@@ -363,10 +464,16 @@ def main():
         try:
             # bench_train picks its own conv mode per config ('roll' first:
             # rolling-ring fwd + Pallas dgrad, 762 vs 893 ms/step measured)
-            tput, tb, tms, tms_median, attempts = bench_train(jax, jnp)
+            (tput, tb, tms, tms_median, train_flops, accum,
+             attempts) = bench_train(jax, jnp)
             result.update(train_vols_per_sec_per_chip=round(tput / n_dev, 2),
                           train_batch=tb, train_ms_per_step=round(tms, 1),
                           train_ms_per_step_median=round(tms_median, 1))
+            if np.isfinite(train_flops) and tms > 0:
+                result["mfu_train"] = round(
+                    train_flops / (tms / 1e3) / V5E_PEAK_FLOPS, 3)
+            if accum:
+                result.update(accum)
             if attempts:
                 result["train_fallbacks"] = attempts
         except Exception as e:  # noqa: BLE001
