@@ -66,3 +66,24 @@ def test_build_cache_from_mha(tmp_path):
     assert item["image"].dtype == np.int16
     assert int(item["cls_label"]) == 3 and int(item["pse_label"]) == 1
     assert item["em_mask"].shape == item["image"].shape
+
+
+def test_complexity_external_baseline_table():
+    """The reference-style MONAI-resnet comparison rows
+    (``compute_computation_complexity_resnet.py:9-43``): analytic MACs of
+    standard resnet18/34/50 at 224 in 2D and 3D.  The 2D figures must land
+    on the published torchvision-convention values (resnet18 ~1.8 GMACs,
+    resnet50 ~4.1)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.compute_computation_complexity import external_baseline_table
+
+    rows = {r["arch"]: r for r in external_baseline_table()}
+    assert len(rows) == 6
+    assert abs(rows["resnet18_2d (baseline)"]["gmacs"] - 1.8) < 0.2
+    assert abs(rows["resnet50_2d (baseline)"]["gmacs"] - 4.1) < 0.4
+    # 3D at 224^3 is ~128x the 2D work for the stem alone; sanity-bound
+    assert rows["resnet34_3d (baseline)"]["gmacs"] > 100
+    for r in rows.values():
+        assert r["params_M"] > 10

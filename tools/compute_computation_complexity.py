@@ -20,6 +20,71 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _resnet_macs_params(depth: int, ndim: int, in_shape,
+                        n_classes: int = 400):
+    """Analytic MACs/params of a standard torchvision-convention ResNet
+    (the architecture family behind the reference's MONAI baselines,
+    ``compute_computation_complexity_resnet.py:1-7``) at arbitrary spatial
+    rank — conv7 stride-2 stem, maxpool3 stride-2, BasicBlock for 18/34 /
+    Bottleneck for 50, type-B (1x1-conv) downsample shortcuts, global pool
+    + FC.  Counts conv/FC multiply-accumulates only (the ptflops
+    convention is MACs-dominated by the same terms; BN/ReLU add <1%)."""
+    import math
+    cfg = {18: ("basic", (2, 2, 2, 2)), 34: ("basic", (3, 4, 6, 3)),
+           50: ("bottleneck", (3, 4, 6, 3))}[depth]
+    kind, blocks = cfg
+    exp = 4 if kind == "bottleneck" else 1
+    cin, *spatial = in_shape
+    macs = params = 0
+
+    def conv(cin, cout, k, stride, spatial):
+        nonlocal macs, params
+        out_sp = [math.ceil(s / stride) for s in spatial]
+        n_out = 1
+        for s in out_sp:
+            n_out *= s
+        macs += n_out * cout * cin * k ** ndim
+        params += cout * cin * k ** ndim + 2 * cout   # + BN affine
+        return out_sp
+
+    spatial = conv(cin, 64, 7, 2, spatial)                    # stem
+    spatial = [math.ceil(s / 2) for s in spatial]             # maxpool
+    c = 64
+    for i, nb in enumerate(blocks):
+        planes = 64 * 2 ** i
+        cout = planes * exp
+        for b in range(nb):
+            stride = 2 if (i > 0 and b == 0) else 1
+            if kind == "basic":
+                sp = conv(c, planes, 3, stride, spatial)
+                sp = conv(planes, planes, 3, 1, sp)
+            else:
+                sp = conv(c, planes, 1, 1, spatial)
+                sp = conv(planes, planes, 3, stride, sp)
+                sp = conv(planes, cout, 1, 1, sp)
+            if b == 0 and (stride != 1 or c != cout):
+                conv(c, cout, 1, stride, spatial)             # shortcut B
+            spatial, c = sp, cout
+    macs += c * n_classes                                     # FC
+    params += c * n_classes + n_classes
+    return macs, params
+
+
+def external_baseline_table():
+    """The reference's MONAI-resnet comparison rows
+    (``compute_computation_complexity_resnet.py:9-43``): resnet18/34/50 at
+    (3, 224, 224[, 224]) in 2D and 3D, MACs + params."""
+    rows = []
+    for ndim, shape in ((3, (3, 224, 224, 224)), (2, (3, 224, 224))):
+        for depth in (18, 34, 50):
+            macs, params = _resnet_macs_params(depth, ndim, shape)
+            rows.append({"arch": f"resnet{depth}_{ndim}d (baseline)",
+                         "params_M": round(params / 1e6, 2),
+                         "gmacs": round(macs / 1e9, 1),
+                         "input": list(shape)})
+    return rows
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--archs", default="med3d18,med3d,med3d50,"
@@ -28,6 +93,11 @@ def main():
     parser.add_argument("--batch", default=1, type=int)
     parser.add_argument("--train", action="store_true",
                         help="probe the training step instead of inference")
+    parser.add_argument("--compare", action="store_true",
+                        help="append the reference-style external baseline "
+                             "table (standard resnet18/34/50, 2D and 3D at "
+                             "224, analytic MACs — the MONAI/ptflops rows of "
+                             "compute_computation_complexity_resnet.py)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -88,9 +158,14 @@ def main():
             flops, bytes_accessed = float("nan"), float("nan")
         rows.append({"arch": arch, "params_M": round(n_params / 1e6, 2),
                      "gflops": round(flops / 1e9, 1),
+                     "gmacs": round(flops / 2e9, 1),
                      "gbytes_accessed": round(bytes_accessed / 1e9, 2),
                      "input": list(shape)})
         print(json.dumps(rows[-1]))
+    if args.compare:
+        for row in external_baseline_table():
+            rows.append(row)
+            print(json.dumps(row))
     return rows
 
 
