@@ -52,11 +52,17 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def _program_flops(jitted, *args):
-    """Compiler-counted FLOPs per call of a jitted program (HLO cost
-    analysis on the lowered module — no device compile, so it does not
-    pay the multi-minute remote-compile cost twice)."""
+    """Compiler-counted FLOPs per call of a jitted program.  The axon
+    backend's ``Lowered.cost_analysis()`` returns None (measured), so fall
+    through to the compiled executable's analysis — the program was
+    already jit-compiled by the caller, so ``compile()`` hits the
+    in-process executable cache rather than paying the remote compile
+    again."""
     try:
-        cost = jitted.lower(*args).cost_analysis()
+        lowered = jitted.lower(*args)
+        cost = lowered.cost_analysis()
+        if cost is None:
+            cost = lowered.compile().cost_analysis()
         return float(cost.get("flops", float("nan")))
     except Exception:  # noqa: BLE001 — backend-dependent
         return float("nan")
