@@ -412,19 +412,23 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
                   target_size=(128, 224, 288), batch_size: int = 2,
                   workers: int = 2, nchips: Optional[int] = None,
                   compute_dtype: str = "float32",
-                  device_preprocess: bool = False,
+                  device_preprocess: bool = True,
                   pad_shape=(160, 288, 384),
                   state: Optional[TrainState] = None,
                   mesh=None) -> List[Dict[str, Any]]:
     """Run the full deployment pipeline; returns the results list.
 
-    ``device_preprocess=False`` (default): preprocessing runs on the host
-    with the strict torch-parity numerics — the clinical default, since the
-    device path's lesion percentages can differ by up to ~2e-3, enough to
-    flip a severity score for a scan sitting exactly on a ratio threshold
-    (ADVICE r2).
+    ``device_preprocess=True`` (the default since round 4): the clinical
+    fast path.  Device and host preprocessing agree to <1e-5 in the lesion
+    percentages at deployment scale on the chip (exact-integer resize
+    index math — ``benchmarks/drift_probe.py``, DEVNOTES round 4), so the
+    fast path and the torch-parity path are clinically interchangeable.
 
-    ``device_preprocess=True`` (opt-in high-throughput mode): the host
+    ``device_preprocess=False``: the strict host torch-parity
+    preprocessing path (the pre-round-4 default; still the reference
+    oracle for parity tests).
+
+    On the device path: the host
     ships only cropped raw int16 CT (12-bit packed) + bit-packed lungs;
     windowing / standardize / resize / ess mask run fused on the TPU, and
     only the HALF-resolution dense maps + bit-packed ess come back (the

@@ -40,17 +40,18 @@ def run_testing_job():
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--device_preprocess", action="store_true",
-                        help="opt-in high-throughput mode: windowing/"
-                             "standardize/resize/ess-mask run fused on the "
-                             "TPU (~25x fewer host-link bytes). The default "
-                             "is the strict host torch-parity path — the "
-                             "device path's percentages can differ by up to "
-                             "~2e-3, enough to flip a severity score for a "
-                             "scan sitting exactly on a ratio threshold")
+                        default=True,
+                        help="default-on: windowing/standardize/resize/"
+                             "ess-mask run fused on the TPU (~25x fewer "
+                             "host-link bytes). Chip-measured agreement "
+                             "with the host torch-parity path is <1e-5 in "
+                             "the lesion percentages (exact-integer resize "
+                             "index math, DEVNOTES round 4); scans whose "
+                             "crop exceeds --pad_shape fall back per-scan")
     parser.add_argument("--host_preprocess", action="store_true",
-                        help="deprecated: host preprocessing is the default "
-                             "now; this flag forces it off even if "
-                             "--device_preprocess is also given")
+                        help="force the strict host torch-parity "
+                             "preprocessing path (the pre-round-4 clinical "
+                             "default) instead of the fused device path")
     parser.add_argument("--pad_shape", default=(160, 288, 384),
                         type=parse_size,
                         help="static raw-volume buffer for the device "
