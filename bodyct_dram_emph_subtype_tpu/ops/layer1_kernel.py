@@ -200,7 +200,7 @@ def fused_layer1(xp: jax.Array,
 
 def supports_fused_pool_layer1(x_shape: Tuple[int, ...], planes: int,
                                n_blocks: int, itemsize: int = 2,
-                               vmem_budget: int = 70 * 1024 * 1024) -> bool:
+                               vmem_budget: int = 88 * 1024 * 1024) -> bool:
     """Gate for :func:`fused_pool_layer1` on the PRE-POOL NDHWC stem
     activation ``x_shape`` = (B, D, H, W, C).  Requires the pool to land
     on the 128-lane identity-residual regime (C == planes == 64) and the
@@ -221,34 +221,52 @@ def supports_fused_pool_layer1(x_shape: Tuple[int, ...], planes: int,
     patch = hp * wt * 2 * c2 * itemsize
     weights = 2 * n_blocks * 9 * 2 * c2 * c2 * itemsize
     acc = h2 * wt * c2 * 4
-    ring = 5 * h2 * 2 * _round_up(wq, 8) * 4 * c * itemsize
+    n_slots = 9 if d2 % 2 == 0 else 5     # fat two-plane pool steps
+    ring = n_slots * h2 * 2 * _round_up(wq, 8) * 4 * c * itemsize
     return 2 * vol + patch + weights + 2 * acc + ring <= vmem_budget
 
 
 def _pool_kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
                       ring, in_sems, out_sem, *, D2: int, H2: int, Wq: int,
                       WqP: int, WT: int, C: int, NB: int,
-                      pool_only: bool = False):
+                      pool_only: bool = False, fat: bool = False):
     """Pool fill (k3 s2 p1 max over streamed stem planes, post-ReLU so the
     boundary fill is 0) straight into the halo'd conv volume, then the
-    residual-stack conv phase of :func:`_kernel_body`."""
+    residual-stack conv phase of :func:`_kernel_body`.
+
+    ``fat`` (even D2): TWO output planes per loop step over a 9-slot ring
+    — step j consumes input planes 4j-1..4j+3 and prefetches 4j+4..4j+7
+    at the step top (slot distances 5..8 from the oldest live plane, so
+    prefetch never aliases a live read — same safety argument as the
+    5-slot rotation).  Halves the serialized step count (the pool's
+    in-model cost is per-step DMA-wait/store latency, not bandwidth —
+    DEVNOTES round 3e) and writes both planes with ONE contiguous store.
+    """
     b = pl.program_id(0)
     C2 = 2 * C
+    n_slots = 9 if fat else 5
 
     A[...] = jnp.zeros_like(A[...])      # halos + unwritten cols
     Bv[...] = jnp.zeros_like(Bv[...])
 
     def pool_dma(di):
-        slot = jax.lax.rem(di, 5)
+        slot = jax.lax.rem(di, n_slots)
         return pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(di, 1)], ring.at[pl.ds(slot, 1)],
             in_sems.at[slot])
 
-    pool_dma(0).start()
-    pool_dma(1).start()
-
     col = jax.lax.broadcasted_iota(jnp.int32, (1, WT, 1), 1)
     edge = (col == 0) | (col >= Wq + 1)
+
+    def _ring_at(di):
+        return ring[pl.ds(jax.lax.rem(di, n_slots), 1)][0]
+
+    def _hw_plane(p):
+        res = _pool_hw(p, C, 0.0)          # (H2, WqP, 2C), cols < Wq
+        if WT > WqP:
+            res = jnp.concatenate(
+                [res, jnp.zeros((H2, WT - WqP, C2), res.dtype)], axis=1)
+        return res
 
     def pool_step(do, carry):
         # 5-slot rotation: the prefetch slots ((2do+2) % 5, (2do+3) % 5)
@@ -264,16 +282,12 @@ def _pool_kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
 
         pool_dma(2 * do).wait()
         pool_dma(2 * do + 1).wait()
-        sm1 = jnp.where(do == 0, 0, jax.lax.rem(2 * do - 1, 5))
+        sm1 = jnp.where(do == 0, 0, jax.lax.rem(2 * do - 1, n_slots))
         pm1 = jnp.where(do == 0, 0.0, ring[pl.ds(sm1, 1)][0])
-        p = jnp.maximum(pm1, jnp.maximum(
-            ring[pl.ds(jax.lax.rem(2 * do, 5), 1)][0],
-            ring[pl.ds(jax.lax.rem(2 * do + 1, 5), 1)][0]))
+        p = jnp.maximum(pm1, jnp.maximum(_ring_at(2 * do),
+                                         _ring_at(2 * do + 1)))
 
-        res = _pool_hw(p, C, 0.0)              # (H2, WqP, 2C), cols < Wq
-        if WT > WqP:
-            res = jnp.concatenate(
-                [res, jnp.zeros((H2, WT - WqP, C2), res.dtype)], axis=1)
+        res = _hw_plane(p)
         # store in the halo'd layout: data at packed cols 1..Wq.  The
         # sublane roll must run at 32 bits (chip dynamic_rotate is
         # 32-bit-only for sub-word dtypes, as in the conv phase).
@@ -283,7 +297,35 @@ def _pool_kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
             y.astype(A.dtype).reshape(1, H2, WT, C2)
         return carry
 
-    jax.lax.fori_loop(0, D2, pool_step, 0)
+    def pool_step2(j, carry):
+        base = 4 * j
+        for k in range(4, 8):              # next step's planes, step-top
+            @pl.when(base + k < 2 * D2)
+            def _(k=k):
+                pool_dma(base + k).start()
+        for k in range(4):
+            pool_dma(base + k).wait()
+        sm1 = jnp.where(j == 0, 0, jax.lax.rem(base - 1, n_slots))
+        pm1 = jnp.where(j == 0, 0.0, ring[pl.ds(sm1, 1)][0])
+        p1 = _ring_at(base + 1)
+        dm0 = jnp.maximum(pm1, jnp.maximum(_ring_at(base), p1))
+        dm1 = jnp.maximum(p1, jnp.maximum(_ring_at(base + 2),
+                                          _ring_at(base + 3)))
+        y = jnp.stack([_hw_plane(dm0), _hw_plane(dm1)])   # (2, H2, WT, C2)
+        y = pltpu.roll(y.astype(jnp.float32), 1, 2)
+        y = jnp.where(edge[None], 0.0, y)
+        A[pl.ds(2 * j + 1, 2), pl.ds(1, H2), pl.ds(0, WT)] = \
+            y.astype(A.dtype)
+        return carry
+
+    if fat:
+        for di in range(8):
+            pool_dma(di).start()
+        jax.lax.fori_loop(0, D2 // 2, pool_step2, 0)
+    else:
+        pool_dma(0).start()
+        pool_dma(1).start()
+        jax.lax.fori_loop(0, D2, pool_step, 0)
 
     if not pool_only:          # debug hook: emit the pool fill itself
         _conv_phase(A, Bv, patch, w_ref, sc_ref, sh_ref, D=D2, H=H2,
@@ -342,9 +384,11 @@ def fused_pool_layer1(x: jax.Array,
     sh = jnp.stack([jnp.tile(a.astype(jnp.float32), 2).reshape(1, C2)
                     for a in adds])
 
+    fat = D2 % 2 == 0      # two-plane pool steps over a 9-slot ring
+    n_slots = 9 if fat else 5
     body = functools.partial(_pool_kernel_body, D2=D2, H2=H2, Wq=Wq,
                              WqP=WqP, WT=WT, C=C, NB=NB,
-                             pool_only=pool_only)
+                             pool_only=pool_only, fat=fat)
     out = pl.pallas_call(
         body,
         grid=(B,),
@@ -358,12 +402,12 @@ def fused_pool_layer1(x: jax.Array,
             pltpu.VMEM((D2 + 2, HP, WTP, C2), x.dtype),   # volume A
             pltpu.VMEM((D2 + 2, HP, WTP, C2), x.dtype),   # volume B
             pltpu.VMEM((HP, WT, 2 * C2), x.dtype),        # tap patch
-            pltpu.VMEM((5, H2, 2, WqP, C4), x.dtype),     # pool plane ring
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((n_slots, H2, 2, WqP, C4), x.dtype),  # plane ring
+            pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, vmem_limit_bytes=80 * 1024 * 1024),
+            has_side_effects=True, vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(xv, w, sc, sh)
     return out[:, :, :, 1:Wq + 1, :]

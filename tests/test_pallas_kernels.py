@@ -535,7 +535,10 @@ def test_fused_pool_layer1_matches_pool_block_stack(rng):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
     C = 64
-    for (B, D, H, W, NB) in ((1, 8, 8, 24, 2), (2, 8, 6, 32, 1)):
+    # D=8 -> D2=4 even (fat 9-slot two-plane pool steps); D=10 -> D2=5
+    # odd (classic 5-slot single-plane rotation)
+    for (B, D, H, W, NB) in ((1, 8, 8, 24, 2), (2, 8, 6, 32, 1),
+                             (1, 10, 8, 24, 1)):
         # post-ReLU semantics: the kernel's pool boundary fill is 0
         x = jnp.asarray(np.abs(rng.randn(B, D, H, W, C))
                         .astype(np.float32) * 0.3)
