@@ -135,16 +135,46 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
 
     host_batches = [make_host_batch(s) for s in range(2)]
 
-    # warmup / compile
-    out = pipeline(variables, *[jax.device_put(a) for a in host_batches[0]])
-    _force_fetch(out)
+    # transfer barrier: this relay's block_until_ready can return early
+    # (DEVNOTES), so "this buffer is resident" is only provable by running
+    # a (tiny) program on it and fetching the scalar result
+    @jax.jit
+    def _touch(raw_packed, lung_bits, in_sizes):
+        return (raw_packed.ravel()[0].astype(jnp.int32)
+                + lung_bits.ravel()[0] + in_sizes.ravel()[0])
 
-    schedules = (["pipelined", "interleaved", "puts_first"]
+    schedules = (["serial", "serial_barrier", "interleaved", "puts_first"]
                  if schedule == "auto" else [schedule])
+
+    # warmup / compile
+    dev0 = [jax.device_put(a) for a in host_batches[0]]
+    if "serial_barrier" in schedules:     # _touch is its own jit program
+        np.asarray(_touch(*dev0))
+    out = pipeline(variables, *dev0)
+    _force_fetch(out)
 
     def _trial(sched):
         t0 = time.time()
-        if sched == "interleaved":
+        if sched == "serial":
+            # fully serialized: fetch every batch's (tiny) outputs before
+            # issuing the next transfers, so transfers never overlap
+            # running compute — the relay degrades transfers 2-20x when
+            # they coincide with in-flight execution (DEVNOTES link notes)
+            for it in range(ITERS):
+                out = pipeline(variables,
+                               *[jax.device_put(a)
+                                 for a in host_batches[it % 2]])
+                _force_fetch(out)
+        elif sched == "serial_barrier":
+            # additionally prove the transfers complete BEFORE issuing the
+            # model dispatch (the relay also penalizes dispatch issue
+            # during in-flight transfers); _touch is the only true barrier
+            for it in range(ITERS):
+                dev = [jax.device_put(a) for a in host_batches[it % 2]]
+                np.asarray(_touch(*dev))
+                out = pipeline(variables, *dev)
+                _force_fetch(out)
+        elif sched == "interleaved":
             for it in range(ITERS):
                 out = pipeline(variables,
                                *[jax.device_put(a)
@@ -384,7 +414,7 @@ def main():
     # (benchmarks/exp_link.py); 'auto' measures all and keeps the best
     p.add_argument("--schedule", default="auto",
                    choices=["auto", "puts_first", "interleaved",
-                            "pipelined"])
+                            "pipelined", "serial", "serial_barrier"])
     # 'roll' (rolling-ring Pallas kernel on the packed decoder, fused
     # conv+BN+ReLU eval stages) measured fastest for inference in round 3:
     # 198.3 ms fwd @ B=4 vs 209.9 direct (DEVNOTES round-3 findings).  The

@@ -319,7 +319,9 @@ def _pool_kernel_body(x_hbm, w_ref, sc_ref, sh_ref, out_hbm, A, Bv, patch,
         return carry
 
     if fat:
-        for di in range(8):
+        # planes 4..7 are started at step 0's own top — starting them here
+        # too would double-start into the same slot/semaphore (a race)
+        for di in range(4):
             pool_dma(di).start()
         jax.lax.fori_loop(0, D2 // 2, pool_step2, 0)
     else:
