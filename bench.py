@@ -5,7 +5,7 @@ Headline: CT volumes/sec/chip through the deployment pipeline of the
 flagship dRAM model (med3ddram == resnet34segreg, the reference's
 deployment default, ``processor.py:59``):
 
-  host int16 volumes (12-bit packed) + bit-packed lung masks → device
+  host int16 volumes (10-bit window-domain packed) + bit-packed lung masks → device
   transfer → fused on-device preprocess (window/standardize/resize + −910
   ess mask) → forward → dRAM maps upsampled + masked → lesion percentages
 
@@ -82,8 +82,8 @@ def _force_fetch(out):
 
 def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
-    from bodyct_dram_emph_subtype_tpu.ops.packing import (pack12_host,
-                                                          unpack12_device)
+    from bodyct_dram_emph_subtype_tpu.ops.packing import (pack10_host,
+                                                          unpack10_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import fused_preprocess
     from bodyct_dram_emph_subtype_tpu.ops.resize import \
         resize_linear_matmul_transpose
@@ -97,7 +97,8 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
 
     @jax.jit
     def pipeline(variables, raw_packed, lung_bits, in_sizes):
-        raw = unpack12_device(raw_packed, PAD_SHAPE)
+        # window-domain 10-bit unpack (1.25 B/voxel, exact — ops/packing.py)
+        raw = unpack10_device(raw_packed, PAD_SHAPE)
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
         lungs = bits.reshape(raw.shape[0], -1)[:, :n_vox].reshape(raw.shape)
@@ -124,7 +125,7 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     def make_host_batch(seed):
         r = np.random.RandomState(seed)
         img = r.randint(-1100, -700, (BATCH, *PAD_SHAPE)).astype(np.int16)
-        packed = pack12_host(img)
+        packed = pack10_host(img)
         lung = np.zeros((BATCH, *PAD_SHAPE), np.uint8)
         lung[:, 8:-8, 16:-16, 16:-16] = 1
         lung_bits = np.packbits(lung.reshape(BATCH, -1), axis=-1,

@@ -142,7 +142,7 @@ def _cached_predict_packed(model, target_size, pad_shape, mesh=None):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.packing import unpack12_device
+    from ..ops.packing import unpack10_device
     from ..ops.preprocess import fused_preprocess
     from ..ops.resize import resize_linear_matmul_transpose
 
@@ -150,7 +150,9 @@ def _cached_predict_packed(model, target_size, pad_shape, mesh=None):
 
     @jax.jit
     def predict_packed(state, raw_packed, lung_bits, in_sizes):
-        raw = unpack12_device(raw_packed, pad_shape)
+        # window-domain 10-bit unpack (1.25 B/voxel): exact for everything
+        # this program computes — see ops/packing.py module comment
+        raw = unpack10_device(raw_packed, pad_shape)
         b = raw.shape[0]
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
@@ -293,7 +295,7 @@ def _device_path(model, state, mesh, dataset, make_loader,
     dense maps + bit-packed ess + exact percentages down.  Returns the
     dataset indices whose crops exceeded ``pad_shape`` (handled afterwards
     by the host-preprocess path, one scan at a time — VERDICT r2 weak #3)."""
-    from ..ops.packing import pack12_host
+    from ..ops.packing import pack10_host
 
     n_vox_t = int(np.prod(target_size))
     predict_packed = _cached_predict_packed(model, target_size, pad_shape,
@@ -304,7 +306,7 @@ def _device_path(model, state, mesh, dataset, make_loader,
     try:
         for batch in make_loader(view):
             device_in = shard_batch(mesh, {
-                "raw_packed": pack12_host(batch["image_raw"]),
+                "raw_packed": pack10_host(batch["image_raw"]),
                 "lung_bits": np.packbits(
                     batch["lung_raw"].reshape(len(batch["uid"]), -1),
                     axis=-1, bitorder="little"),
