@@ -179,10 +179,18 @@ class StemConvS2D(nn.Module):
     lanes (that materialize costs +11 ms at the deployment shape,
     ``benchmarks/maxpool_probe{,3}.py``); the caller feeds it straight to
     ``ops.maxpool_kernel.max_pool_quads``.
+
+    ``pair_output=True`` forces the (2, 2, 4) factors, whose NATIVE conv
+    output (B, D/2, H/2, W/4, 2F) with lanes ``jw*F + f`` (logical
+    ``w = 2*wp + jw``) IS the decoder's W-pair packed layout: bitwise
+    ``pack_w(stem_ndhwc)`` with no unshuffle/retiling at all, at HALF the
+    gross FLOPs of the (2,2,8) form (K = 4*4*3*16 = 768 vs 1536 per
+    output channel) and full 128 output lanes.
     """
     features: int
     dtype: Optional[Dtype] = None
     quad_output: bool = False
+    pair_output: bool = False
 
     @nn.compact
     def __call__(self, x, return_params: bool = False):
@@ -200,12 +208,17 @@ class StemConvS2D(nn.Module):
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
         if cin != 1 or any(s % 2 for s in x.shape[1:4]):
-            assert not self.quad_output, "gate with stem_quad_supported"
+            assert not (self.quad_output or self.pair_output), \
+                "gate with stem_quad_supported / w % 4 == 0"
             return conv3d_apply(x, kernel, (2, 2, 2),
                                 ((3, 3), (3, 3), (3, 3)), mode="direct")
         b, d, h, w, _ = x.shape
-        fd, fh, fw = (f if s % f == 0 else 2 for f, s in
-                      zip(_STEM_S2D_FACTORS, (d, h, w)))
+        if self.pair_output:
+            assert w % 4 == 0, "pair_output needs w % 4 == 0"
+            fd, fh, fw = 2, 2, 4
+        else:
+            fd, fh, fw = (f if s % f == 0 else 2 for f, s in
+                          zip(_STEM_S2D_FACTORS, (d, h, w)))
         if self.quad_output:
             assert (fd, fh, fw) == (2, 2, 8), \
                 "quad_output requires the (2,2,8) factors to apply"
@@ -224,6 +237,8 @@ class StemConvS2D(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         if self.quad_output:
             return y                  # (B, D/2, H/2, W/8, 4F) quad lanes
+        if self.pair_output:
+            return y                  # (B, D/2, H/2, W/4, 2F) pair lanes
         if nj == 1:
             return y
         if fd == 2 and fh == 2:

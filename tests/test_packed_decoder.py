@@ -266,6 +266,28 @@ def test_s2d_stem_factor_variants_match_direct(rng):
         set_stem_s2d_factors(saved)
 
 
+def test_pair_output_stem_is_packed_stem(rng):
+    """``StemConvS2D(pair_output=True)`` returns the (2,2,4)-factor native
+    conv output, which IS ``pack_w(stem_ndhwc)`` (128-lane W-pair layout,
+    zero unshuffle) up to tap-summation rounding."""
+    from bodyct_dram_emph_subtype_tpu.models.packed import (
+        StemConvS2D, get_stem_s2d_factors, pack_w, set_stem_s2d_factors)
+
+    mod = StemConvS2D(6)
+    x = jnp.asarray(rng.randn(2, 8, 12, 16, 1).astype(np.float32))
+    v = mod.init(jax.random.PRNGKey(0), x)
+    saved = get_stem_s2d_factors()
+    try:
+        set_stem_s2d_factors((2, 2, 2))
+        ref = pack_w(mod.apply(v, x))
+    finally:
+        set_stem_s2d_factors(saved)
+    pair = StemConvS2D(6, pair_output=True).apply(v, x)
+    assert pair.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(pair), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_packed_layer1_matches_unpacked(rng):
     """Whole-layer W-pair packed layer1 (PackedBasicBlock, roll mode) ==
     the unpacked BasicBlock layer on the same params, eval AND train
