@@ -564,7 +564,7 @@ class PackedUpsampleConvBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, inputs, cats, train: bool, cats_quad: bool = False):
+    def __call__(self, inputs, cats, train: bool, cats_mode: str = "ndhwc"):
         from ..ops.resize import resize_linear_matmul
         d, h, w = inputs.shape[1:4]
         up = resize_linear_matmul(inputs, (d * self.scale_factor,
@@ -572,14 +572,16 @@ class PackedUpsampleConvBlock(nn.Module):
                                            w * self.scale_factor),
                                   (1, 2, 3), align_corners=True)
         up = up.astype(inputs.dtype)
-        if cats_quad:
-            # ``cats`` is the quad-lane stem (B, D, H, W/4, 4C): its
-            # W-pair view (W/2, 2C) is the same linear order, and the
-            # packed concat interleaves per parity so the result is
-            # bit-identical to pack_w(concat([up, cats_ndhwc], -1)).
-            # No crop: the quad gate guarantees up.shape == stem.shape.
-            cq = cats.reshape(*cats.shape[:3], cats.shape[3] * 2,
-                              cats.shape[4] // 2)
+        if cats_mode in ("quad", "pair"):
+            # ``cats`` is the stem in the quad-lane (B, D, H, W/4, 4C) or
+            # W-pair (B, D, H, W/2, 2C) layout: the W-pair view is the
+            # same linear order (for quad, via one reshape; for pair,
+            # as-is), and the packed concat interleaves per parity so the
+            # result is bit-identical to pack_w(concat([up, cats_ndhwc],
+            # -1)).  No crop: the gates guarantee up.shape == stem.shape.
+            cq = (cats if cats_mode == "pair"
+                  else cats.reshape(*cats.shape[:3], cats.shape[3] * 2,
+                                    cats.shape[4] // 2))
             assert up.shape[1:4] == (cq.shape[1], cq.shape[2],
                                      2 * cq.shape[3]), (up.shape, cats.shape)
             cu, cc = up.shape[-1], cq.shape[-1] // 2

@@ -86,6 +86,44 @@ def use_quad_stem(x_shape, train: bool, packed_decoder: bool,
     return stem_quad_supported(tuple(x_shape), 64, itemsize)
 
 
+# Pair-output stem (StemConvS2D(pair_output=True)): the (2,2,4)-factor
+# conv's native output IS the W-pair packed stem — half the gross stem
+# FLOPs of the (2,2,8) form, a 128-lane materialize instead of 64, and
+# the decoder us2 skip concat needs no pack_w.  Chip A/B hook like the
+# quad path; flipped by benchmarks/stem_pair_probe.py + fwd_r3d_probe.
+_PAIR_STEM_ENABLE = False
+
+
+def set_pair_stem_enable(on: bool) -> None:
+    """Chip-A/B hook: toggle the pair-output stem->pool path."""
+    global _PAIR_STEM_ENABLE
+    _PAIR_STEM_ENABLE = bool(on)
+
+
+def use_pair_stem(x_shape, train: bool, packed_decoder: bool, dtype,
+                  n_blocks: int) -> bool:
+    """Static gate for the pair-output stem->fused-pool+layer1 path:
+    eval, conv mode 'roll', packed decoder (the us2 skip consumer reads
+    pair cats natively), BasicBlock layer1 depth ``n_blocks``, and the
+    fused pool+layer1 kernel's shape/VMEM gate on the NDHWC-equivalent
+    stem activation."""
+    from . import blocks as _blocks
+    from .packed import supports_fused_pool_layer
+    if train or not packed_decoder or _blocks._CONV3D_MODE != "roll":
+        return False
+    if not _PAIR_STEM_ENABLE:
+        return False
+    if len(x_shape) != 5 or x_shape[-1] != 1:
+        return False
+    b, d, h, w, _ = x_shape
+    if d % 4 or h % 4 or w % 8:
+        return False
+    import jax.numpy as _jnp
+    itemsize = _jnp.dtype(dtype).itemsize if dtype is not None else 4
+    return supports_fused_pool_layer((b, d // 2, h // 2, w // 2, 64),
+                                     64, n_blocks, itemsize)
+
+
 class _Trunk(nn.Module):
     """Shared encoder trunk; returns (stem, layer1, layer4) activations.
 
@@ -109,11 +147,31 @@ class _Trunk(nn.Module):
     remat: Any = False
     shortcut_type: str = "A"
     quad_stem: bool = False
+    pair_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         from .packed import StemConvS2D
-        if self.quad_stem:
+        if self.pair_stem:
+            # pair-output stem (gate with use_pair_stem): the (2,2,4)-
+            # factor conv's native output IS the W-pair packed stem
+            # activation — BN/ReLU fold onto 128 lanes, the fused
+            # pool+layer1 kernel reads it via a cheap 128->256 lane quad
+            # view, and the decoder us2 concat consumes it with no pack.
+            dtype = self.dtype or x.dtype
+            conv1 = StemConvS2D(64, name="conv1", dtype=self.dtype,
+                                pair_output=True)
+            xpair = conv1(x)
+            dummy = jnp.zeros((1, 1, 1, 1, 128), dtype)
+            mul, add = NormWrapper(dtype=self.dtype, name="bn1")(
+                dummy, train, return_affine=True)     # logical (64,) f32
+            xpair = nn.relu(xpair.astype(jnp.float32) * jnp.tile(mul, 2)
+                            + jnp.tile(add, 2)).astype(dtype)
+            x1 = self._layer(xpair, 64, self.layers[0], 1, 1, "layer1",
+                             train, prepool="pair")
+            xp = None
+            x = xpair                                  # pair stem skip
+        elif self.quad_stem:
             from ..ops.maxpool_kernel import max_pool_quads
             from ..ops.stem_kernel import (fused_stem_pool,
                                            supports_fused_stem)
@@ -164,18 +222,22 @@ class _Trunk(nn.Module):
         return x, x1, x4
 
     def _layer(self, x, planes, blocks, stride, dilation, name, train,
-               prepool: bool = False):
+               prepool=False):
         exp = self.block.expansion
         if prepool:
-            # x is the PRE-POOL NDHWC stem activation; the caller verified
+            # x is the PRE-POOL stem activation — NDHWC (prepool=True) or
+            # W-pair packed (prepool="pair"); the caller verified
             # supports_fused_pool_layer — pool + residual stack run as one
             # VMEM-resident Pallas pass.  The dummy packed input only
             # provides shapes for param collection (DCE'd under jit).
-            from ..ops.layer1_kernel import fused_pool_layer1
+            from ..ops.layer1_kernel import (fused_pool_layer1,
+                                             fused_pool_layer1_pair)
             from .packed import PackedBasicBlock, unpack_w
+            pair = prepool == "pair"
             dtype = self.dtype or x.dtype
             b, d, h, w, _ = x.shape
-            dummy = jnp.zeros((b, d // 2, h // 2, w // 4, 2 * planes),
+            wq = w // 2 if pair else w // 4       # pooled packed W
+            dummy = jnp.zeros((b, d // 2, h // 2, wq, 2 * planes),
                               dtype)
             ks, mls, ads = [], [], []
             for i in range(blocks):
@@ -186,8 +248,9 @@ class _Trunk(nn.Module):
                 mls += [m1, m2]
                 ads += [a1, a2]
             from ..parallel.mesh import shard_map_data
-            return unpack_w(shard_map_data(fused_pool_layer1,
-                                           x.astype(dtype), ks, mls, ads))
+            fn = fused_pool_layer1_pair if pair else fused_pool_layer1
+            return unpack_w(shard_map_data(fn, x.astype(dtype),
+                                           ks, mls, ads))
         # stride-1 dilation-1 identity-shortcut BasicBlock layers (layer1)
         # run whole-layer W-pair packed under conv mode 'roll': 64-channel
         # convs at 128 lanes through the rolling-ring kernel, BN/ReLU/
@@ -316,7 +379,7 @@ class _Decoder(nn.Module):
     dtype: Optional[Dtype] = None
     remat: Any = False
     packed: bool = False
-    quad_cats: bool = False   # ``stem`` arrives in the quad-lane layout
+    cats_mode: str = "ndhwc"  # ``stem`` layout: ndhwc | quad | pair
 
     @nn.compact
     def __call__(self, x4, x1, stem, train: bool, fused_heads=None):
@@ -329,9 +392,9 @@ class _Decoder(nn.Module):
                                static_argnums=(3, 4))
                       if do_remat else PackedUpsampleConvBlock)
             xup1 = up_cls([64, 64], dtype=self.dtype,
-                          name="us1")(x4, x1, train, False)
+                          name="us1")(x4, x1, train, "ndhwc")
             xup2 = up_cls([64, 64], dtype=self.dtype,
-                          name="us2")(xup1, stem, train, self.quad_cats)
+                          name="us2")(xup1, stem, train, self.cats_mode)
             if fused_heads is not None:
                 # eval tail fusion (caller guarantees kernel support): the
                 # f32 sigmoid dense maps come straight out of the us3 pass
@@ -371,10 +434,15 @@ class ResNetSegCls(nn.Module):
     def __call__(self, x, lungs=None, train: bool = False):
         quad = use_quad_stem(x.shape, train, self.packed_decoder,
                              self.dtype or x.dtype)
+        pair = (not quad) and use_pair_stem(x.shape, train,
+                                            self.packed_decoder,
+                                            self.dtype or x.dtype,
+                                            self.layers[0])
+        cats = "quad" if quad else ("pair" if pair else "ndhwc")
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              self.remat, self.shortcut_type, quad,
+                              self.remat, self.shortcut_type, quad, pair,
                               name="trunk")(x, train)
-        xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder, quad,
+        xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder, cats,
                         name="decoder")(x4, x1, stem, train)
         dense_outs = [conv3d(n, 1, bias=True, name=f"fc{i}",
                              dtype=self.dtype)(xup3)
@@ -415,8 +483,13 @@ class ResNetSegReg(nn.Module):
     def __call__(self, x, lungs=None, train: bool = False):
         quad = use_quad_stem(x.shape, train, self.packed_decoder,
                              self.dtype or x.dtype)
+        pair = (not quad) and use_pair_stem(x.shape, train,
+                                            self.packed_decoder,
+                                            self.dtype or x.dtype,
+                                            self.layers[0])
+        cats = "quad" if quad else ("pair" if pair else "ndhwc")
         stem, x1, x4 = _Trunk(self.block, self.layers, self.dtype,
-                              self.remat, self.shortcut_type, quad,
+                              self.remat, self.shortcut_type, quad, pair,
                               name="trunk")(x, train)
         # eval tail fusion: us3+BN+ReLU+heads+sigmoid in one Pallas pass
         # (models/packed.py::packed_stage_heads).  Decided from the STATIC
@@ -434,12 +507,12 @@ class ResNetSegReg(nn.Module):
             hw = jnp.concatenate([k.reshape(32, 1) for k, _ in heads], -1)
             hb = jnp.concatenate([bb for _, bb in heads])
             dense = _Decoder(self.dtype, self.remat, self.packed_decoder,
-                             quad, name="decoder")(x4, x1, stem, train,
+                             cats, name="decoder")(x4, x1, stem, train,
                                                    fused_heads=(hw, hb))
             dense_outs = [dense[..., 0:1], dense[..., 1:2]]
         else:
             xup3 = _Decoder(self.dtype, self.remat, self.packed_decoder,
-                            quad, name="decoder")(x4, x1, stem, train)
+                            cats, name="decoder")(x4, x1, stem, train)
             dense_outs = [
                 jax.nn.sigmoid(
                     conv3d(1, 1, bias=True, name=f"fc{i}",

@@ -362,16 +362,45 @@ def fused_pool_layer1(x: jax.Array,
     ``med3d.py:206`` (MaxPool3d(3, 2, 1)) + ``med3d.py:115-144`` (layer1).
     """
     B, D, H, W, C = x.shape
+    return _fused_pool_layer1_quadview(
+        x.reshape(B, D, H, W // 4, 4 * C), C, kernels, muls, adds,
+        interpret=interpret, pool_only=pool_only)
+
+
+def fused_pool_layer1_pair(xpair: jax.Array,
+                           kernels: Sequence[jax.Array],
+                           muls: Sequence[jax.Array],
+                           adds: Sequence[jax.Array],
+                           interpret: bool = False,
+                           pool_only: bool = False) -> jax.Array:
+    """:func:`fused_pool_layer1` from a W-PAIR packed stem activation
+    (B, D, H, W/2, 2C) — e.g. ``StemConvS2D(pair_output=True)`` — instead
+    of NDHWC.  The kernel's quad view (W/4, 4C) is the same flat order as
+    the pair layout, so this is the identical pallas program fed by a
+    cheaper (128→256 lane) retiling than NDHWC's 64→256."""
+    B, D, H, Wp, C2 = xpair.shape
+    assert Wp % 2 == 0 and C2 % 2 == 0
+    return _fused_pool_layer1_quadview(
+        xpair.reshape(B, D, H, Wp // 2, 2 * C2), C2 // 2, kernels, muls,
+        adds, interpret=interpret, pool_only=pool_only)
+
+
+def _fused_pool_layer1_quadview(xq: jax.Array, C: int,
+                                kernels: Sequence[jax.Array],
+                                muls: Sequence[jax.Array],
+                                adds: Sequence[jax.Array],
+                                interpret: bool = False,
+                                pool_only: bool = False) -> jax.Array:
+    B, D, H, Wq, C4 = xq.shape
+    assert C4 == 4 * C
     NB = len(kernels) // 2
     assert len(kernels) == len(muls) == len(adds) == 2 * NB
-    D2, H2, Wq = D // 2, H // 2, W // 4
-    C2, C4 = 2 * C, 4 * C
+    D2, H2 = D // 2, H // 2
+    C2 = 2 * C
     WqP = _round_up(Wq, 8)
     WT = _round_up(Wq + 1, 8)
     WTP = _round_up(WT + 2, 8)
     HP = H2 + 2
-
-    xq = x.reshape(B, D, H, Wq, C4)
     if WqP != Wq:
         # Mosaic DMAs slice the second-minor (quad) dim — 8-align it.
         # Zero pad quads are inert: pool col j only reads quads j-1, j,
@@ -379,7 +408,7 @@ def fused_pool_layer1(x: jax.Array,
         xq = jnp.pad(xq, ((0, 0),) * 3 + ((0, WqP - Wq), (0, 0)))
     xv = xq.reshape(B, D, H2, 2, WqP, C4)
 
-    w = jnp.stack([build_roll_weights_compact(k.astype(x.dtype))
+    w = jnp.stack([build_roll_weights_compact(k.astype(xq.dtype))
                    for k in kernels])          # (2NB, 3, 3, 2C2, C2)
     sc = jnp.stack([jnp.tile(m.astype(jnp.float32), 2).reshape(1, C2)
                     for m in muls])
@@ -399,12 +428,12 @@ def fused_pool_layer1(x: jax.Array,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((B, D2, H2, WT, C2), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D2, H2, WT, C2), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((D2 + 2, HP, WTP, C2), x.dtype),   # volume A
-            pltpu.VMEM((D2 + 2, HP, WTP, C2), x.dtype),   # volume B
-            pltpu.VMEM((HP, WT, 2 * C2), x.dtype),        # tap patch
-            pltpu.VMEM((n_slots, H2, 2, WqP, C4), x.dtype),  # plane ring
+            pltpu.VMEM((D2 + 2, HP, WTP, C2), xq.dtype),   # volume A
+            pltpu.VMEM((D2 + 2, HP, WTP, C2), xq.dtype),   # volume B
+            pltpu.VMEM((HP, WT, 2 * C2), xq.dtype),        # tap patch
+            pltpu.VMEM((n_slots, H2, 2, WqP, C4), xq.dtype),  # plane ring
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA,
         ],

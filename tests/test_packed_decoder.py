@@ -379,6 +379,51 @@ def test_quad_stem_pool_path_matches_direct(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pair_stem_pool_path_matches_direct(rng):
+    """The pair-output stem path (StemConvS2D pair_output -> folded
+    BN/ReLU on 128 lanes -> fused_pool_layer1_pair -> packed decoder
+    pair concat) == the direct-mode model on the same params, with an
+    IDENTICAL variable tree (checkpoint compatibility)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bodyct_dram_emph_subtype_tpu.models import packed as packed_mod
+    from bodyct_dram_emph_subtype_tpu.models.blocks import set_conv3d_mode
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import (
+        ResNetSegReg, set_pair_stem_enable, use_pair_stem)
+
+    x = jnp.asarray(rng.randn(1, 16, 32, 32, 1).astype(np.float32) * 0.2)
+    lungs = jnp.asarray(
+        (rng.rand(1, 8, 16, 16, 1) > 0.3).astype(np.float32))
+    m = ResNetSegReg(layers=(2, 1, 1, 1), packed_decoder=True)
+    v = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    d0, r0 = m.apply(v, x, lungs, train=False)
+
+    min_elems = packed_mod._ROLL_MIN_ELEMS
+    try:
+        set_conv3d_mode("roll")
+        set_pair_stem_enable(True)
+        packed_mod._ROLL_MIN_ELEMS = 0
+        assert use_pair_stem(x.shape, False, True, jnp.float32, 2)
+        assert not use_pair_stem(x.shape, True, True, jnp.float32, 2)
+        assert not use_pair_stem(x.shape, False, False, jnp.float32, 2)
+        with pltpu.force_tpu_interpret_mode():
+            d1, r1 = m.apply(v, x, lungs, train=False)
+            v2 = m.init(jax.random.PRNGKey(0), x, lungs, train=False)
+    finally:
+        set_conv3d_mode("direct")
+        set_pair_stem_enable(False)
+        packed_mod._ROLL_MIN_ELEMS = min_elems
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(d1[i]), np.asarray(d0[i]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1[i]), np.asarray(r0[i]),
+                                   rtol=1e-4, atol=1e-5)
+    assert jax.tree.structure(v2) == jax.tree.structure(v)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_max_pool_quads_matches_reduce_window(rng):
     """max_pool_quads on the quad-lane view == reduce_window on NDHWC,
     output in the W-pair packed layout."""

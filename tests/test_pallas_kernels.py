@@ -567,6 +567,13 @@ def test_fused_pool_layer1_matches_pool_block_stack(rng):
         np.testing.assert_allclose(
             np.asarray(unpack_w(outb), np.float32), np.asarray(y),
             rtol=0.12, atol=0.08, err_msg=f"bf16 {(B, D, H, W, NB)}")
+        # pair-packed input wrapper (pair-output stem): identical program
+        from bodyct_dram_emph_subtype_tpu.models.packed import pack_w
+        from bodyct_dram_emph_subtype_tpu.ops.layer1_kernel import \
+            fused_pool_layer1_pair
+        with pltpu.force_tpu_interpret_mode():
+            outpair = fused_pool_layer1_pair(pack_w(x), ks, ms, ads)
+        np.testing.assert_array_equal(np.asarray(outpair), np.asarray(outp))
 
 
 def test_fused_layer1_matches_block_stack(rng):
