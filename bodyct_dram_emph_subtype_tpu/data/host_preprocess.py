@@ -90,6 +90,36 @@ def depth_indices_np(d_in: int, d_out: int) -> np.ndarray:
     return np.zeros(1, np.int64)
 
 
+def window_moments_np(img: np.ndarray,
+                      window=(-1150.0, -300.0)) -> np.ndarray:
+    """``[mean, 1/std]`` (float32) of the windowed volume from EXACT
+    integer sums.
+
+    The standardize statistics are the one part of the preprocess that
+    reads the full volume, so the depth-preselected device pipeline
+    (``ops/preprocess.py::preprocess_one_preselected``) ships them as two
+    scalars instead of shipping every depth plane.  Sums are exact int64
+    over the clipped int16 HU values; the mean/variance algebra then runs
+    in arbitrary-precision Python ints with ONE float division each, so the
+    result is the correctly-rounded f64 of the true rational value —
+    strictly more accurate than both the torch-parity oracle's f32
+    pairwise sums (``preprocess_sample``) and the on-device f32 reductions
+    (``preprocess_one``), and within their ~1e-7 relative agreement.
+    Unbiased (ddof=1) like torch ``Tensor.std()``."""
+    lo_i, hi_i = int(window[0]), int(window[1])
+    c = np.clip(np.asarray(img, np.int16), lo_i, hi_i).astype(np.int32)
+    n = int(c.size)
+    s1 = int(c.sum(dtype=np.int64))
+    # c*c stays well inside int32 (|c| <= 2048 -> c*c <= 4.2e6)
+    s2 = int((c * c).sum(dtype=np.int64))
+    r = hi_i - lo_i
+    mean = (s1 - n * lo_i) / (n * r)
+    var_num = s2 * n - s1 * s1        # exact: n*(n-1)*var(c)... / n below
+    var = var_num / (n * max(n - 1, 1) * r * r)
+    inv_std = 1.0 / np.sqrt(var) if var > 0 else 0.0
+    return np.asarray([mean, inv_std], np.float32)
+
+
 def preprocess_sample(sample: Dict[str, np.ndarray],
                       target_size: Tuple[int, int, int],
                       window=(-1150.0, -300.0)) -> Dict[str, np.ndarray]:

@@ -37,8 +37,9 @@ import numpy as np
 
 from ..data import DataLoader, SubtypingInference, write_arrays_to_mha
 from ..data.datasets import CLE_RATIO_MAP, PSE_RATIO_MAP, ratio_to_label
-from ..data.host_preprocess import (preprocess_sample,
-                                    resize_linear_matmul_np)
+from ..data.host_preprocess import (depth_indices_np, preprocess_sample,
+                                    resize_linear_matmul_np,
+                                    window_moments_np)
 from ..models import get_model_by_name
 from ..parallel.mesh import MeshSpec, get_mesh, shard_batch
 from ..train.checkpoint import greedy_restore_variables
@@ -69,19 +70,25 @@ class _PredictView:
 class _RawPredictView:
     """Device-pipeline view: the host ships only the cropped raw int16 CT +
     lung mask in a static padded buffer (windowing / standardization /
-    resize / −910 ess mask all run fused on the TPU).  Cuts host→device
-    bytes ~25x vs preprocessed float32 tensors once combined with 12-bit
-    CT packing + bit-packed lungs.
+    resize / −910 ess mask all run fused on the TPU).  Round-4 transport:
+    the host takes the exact linspace DEPTH slices up front
+    (``depth_indices_np`` — bit-identical to the device's selection) and
+    ships the standardize moments from exact integer sums
+    (``window_moments_np``), so only ``target_d`` depth planes travel —
+    ~20% fewer bytes on the e2e-gating link, and crop depth can never
+    overflow the buffer.  Combined with 10-bit window-domain CT packing +
+    bit-packed lungs this is ~30x fewer host→device bytes than
+    preprocessed float32 tensors.
 
-    A scan whose lung crop exceeds ``pad_shape`` does NOT abort the cohort:
-    its index is recorded in :attr:`oversized` (the loader workers are
-    threads, so the mutation is visible to the caller) and a dummy zero-lung
-    item is emitted; the caller skips the dummy on output and re-runs just
-    those scans through the host-preprocess path."""
+    A scan whose lung crop exceeds ``up_shape`` IN-PLANE does NOT abort
+    the cohort: its index is recorded in :attr:`oversized` (the loader
+    workers are threads, so the mutation is visible to the caller) and a
+    dummy zero-lung item is emitted; the caller skips the dummy on output
+    and re-runs just those scans through the host-preprocess path."""
 
-    def __init__(self, dataset: SubtypingInference, pad_shape):
+    def __init__(self, dataset: SubtypingInference, up_shape):
         self.dataset = dataset
-        self.pad_shape = tuple(pad_shape)
+        self.up_shape = tuple(up_shape)   # (target_d, Hpad, Wpad)
         self.oversized: Set[int] = set()
         self._lock = threading.Lock()
 
@@ -91,25 +98,31 @@ class _RawPredictView:
     def __getitem__(self, index):
         d = self.dataset[index]
         img = np.asarray(d["image"])
-        img_p = np.full(self.pad_shape, -2048, np.int16)
-        lung_p = np.zeros(self.pad_shape, np.uint8)
-        if any(s > p for s, p in zip(img.shape, self.pad_shape)):
+        img_p = np.full(self.up_shape, -2048, np.int16)
+        lung_p = np.zeros(self.up_shape, np.uint8)
+        if any(s > p for s, p in zip(img.shape[1:], self.up_shape[1:])):
             with self._lock:
                 self.oversized.add(index)
             logger.warning(
-                "scan %s crop %s exceeds pad_shape %s — will fall back to "
-                "host preprocessing for this scan only", d["uid"],
-                img.shape, self.pad_shape)
+                "scan %s crop %s exceeds in-plane pad %s — will fall back "
+                "to host preprocessing for this scan only", d["uid"],
+                img.shape, self.up_shape[1:])
             return {"image_raw": img_p, "lung_raw": lung_p,
-                    "in_sizes": np.asarray(self.pad_shape, np.int32),
+                    "in_sizes": np.asarray(self.up_shape, np.int32),
+                    "moments": np.zeros(2, np.float32),
                     "uid": d["uid"], "crop_slice": d["crop_slice"],
                     "original_size": d["original_size"],
                     "oversized": True}
-        sl = tuple(slice(0, s) for s in img.shape)
-        img_p[sl] = img.astype(np.int16)
-        lung_p[sl] = np.asarray(d["lung_mask"]) > 0
+        img16 = img.astype(np.int16)
+        idx = depth_indices_np(img.shape[0], self.up_shape[0])
+        sl = (slice(None), slice(0, img.shape[1]), slice(0, img.shape[2]))
+        img_p[sl] = img16[idx]
+        lung_p[sl] = np.asarray(d["lung_mask"])[idx] > 0
         return {"image_raw": img_p, "lung_raw": lung_p,
-                "in_sizes": np.asarray(img.shape, np.int32),
+                "in_sizes": np.asarray(
+                    (self.up_shape[0], img.shape[1], img.shape[2]),
+                    np.int32),
+                "moments": window_moments_np(img16),
                 "uid": d["uid"], "crop_slice": d["crop_slice"],
                 "original_size": d["original_size"],
                 "oversized": False}
@@ -136,29 +149,32 @@ def _cached_predict_step(model, batch_lung_norm: bool = False,
 
 
 @functools.lru_cache(maxsize=4)
-def _cached_predict_packed(model, target_size, pad_shape, mesh=None):
+def _cached_predict_packed(model, target_size, up_shape, mesh=None):
     """Jitted packed-input predict program, cached per static config (same
-    recompile-avoidance rationale as :func:`_cached_predict_step`)."""
+    recompile-avoidance rationale as :func:`_cached_predict_step`).
+    ``up_shape`` is the depth-preselected upload buffer shape
+    ``(target_size[0], Hpad, Wpad)``."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.packing import unpack10_device
-    from ..ops.preprocess import fused_preprocess
+    from ..ops.preprocess import fused_preprocess_preselected
     from ..ops.resize import resize_linear_matmul_transpose
 
-    n_vox_pad = int(np.prod(pad_shape))
+    n_vox_pad = int(np.prod(up_shape))
 
     @jax.jit
-    def predict_packed(state, raw_packed, lung_bits, in_sizes):
+    def predict_packed(state, raw_packed, lung_bits, in_sizes, moments):
         # window-domain 10-bit unpack (1.25 B/voxel): exact for everything
         # this program computes — see ops/packing.py module comment
-        raw = unpack10_device(raw_packed, pad_shape)
+        raw = unpack10_device(raw_packed, up_shape)
         b = raw.shape[0]
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
         lungs = bits.reshape(b, -1)[:, :n_vox_pad].reshape(raw.shape)
-        pre = fused_preprocess(raw, lungs, in_sizes,
-                               target_size=target_size, em_threshold=-910.0)
+        pre = fused_preprocess_preselected(raw, lungs, in_sizes, moments,
+                                           target_size=target_size,
+                                           em_threshold=-910.0)
         x = pre["image"][..., None]
         lungs5 = pre["lung_mask"][..., None]
         ess5 = pre["em_mask"][..., None]
@@ -298,10 +314,11 @@ def _device_path(model, state, mesh, dataset, make_loader,
     from ..ops.packing import pack10_host
 
     n_vox_t = int(np.prod(target_size))
-    predict_packed = _cached_predict_packed(model, target_size, pad_shape,
-                                        mesh)
+    up_shape = (target_size[0], pad_shape[1], pad_shape[2])
+    predict_packed = _cached_predict_packed(model, target_size, up_shape,
+                                            mesh)
 
-    view = _RawPredictView(dataset, pad_shape)
+    view = _RawPredictView(dataset, up_shape)
     fetcher = _FetchStage(pipeline)
     try:
         for batch in make_loader(view):
@@ -310,13 +327,15 @@ def _device_path(model, state, mesh, dataset, make_loader,
                 "lung_bits": np.packbits(
                     batch["lung_raw"].reshape(len(batch["uid"]), -1),
                     axis=-1, bitorder="little"),
-                "in_sizes": batch["in_sizes"]})
+                "in_sizes": batch["in_sizes"],
+                "moments": batch["moments"]})
             # async dispatch — the fetch stage downloads on its own thread
             # so the next batch's host packing AND the previous batch's
             # postprocess both overlap this device step + transfer
             res = predict_packed(state, device_in["raw_packed"],
                                  device_in["lung_bits"],
-                                 device_in["in_sizes"])
+                                 device_in["in_sizes"],
+                                 device_in["moments"])
             batch_meta = {k: batch[k] for k in ("uid", "crop_slice",
                                                 "original_size",
                                                 "oversized")}
@@ -431,14 +450,16 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
     oracle for parity tests).
 
     On the device path: the host
-    ships only cropped raw int16 CT (12-bit packed) + bit-packed lungs;
+    ships only the target-depth linspace-selected raw CT slices (10-bit
+    window-domain packed) + bit-packed lungs + exact standardize moments;
     windowing / standardize / resize / ess mask run fused on the TPU, and
     only the HALF-resolution dense maps + bit-packed ess come back (the
     full-res masking and percentage reduction happen on device with the
     exact predict-step math; the host redoes the same linear upsample for
-    the heatmap reconstruction).  ~25x fewer host↔device bytes than the
-    float32 path.  Scans whose lung crop exceeds ``pad_shape`` fall back to
-    the host path individually; a ``target_size``/``pad_shape`` that breaks
+    the heatmap reconstruction).  ~30x fewer host↔device bytes than the
+    float32 path.  Scans whose lung crop exceeds ``pad_shape`` in-plane
+    fall back to the host path individually (depth cannot overflow — only
+    the selected planes travel); a ``target_size``/``pad_shape`` that breaks
     the packing divisibility falls back for the whole run with a warning.
 
     Both paths overlap host postprocessing (un-crop resize + MHA writes)
@@ -518,15 +539,16 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
 
     if device_preprocess:
         n_vox_t = int(np.prod(target_size))
-        n_vox_p = int(np.prod(pad_shape))
-        if n_vox_t % 8 or n_vox_p % 2:
+        n_vox_u = int(np.prod(
+            (target_size[0], pad_shape[1], pad_shape[2])))
+        if n_vox_t % 8 or n_vox_u % 4:
             # the packed device pipeline needs prod(target_size) % 8 == 0
-            # (ess bit-packing) and prod(pad_shape) % 2 == 0 (12-bit CT
+            # (ess bit-packing) and prod(upload shape) % 4 == 0 (10-bit CT
             # packing); anything else must not die in an opaque reshape
             logger.warning(
                 "target_size %s / pad_shape %s break the device-preprocess "
-                "packing divisibility (prod(target) %% 8 == 0, prod(pad) "
-                "%% 2 == 0) — using host preprocessing instead",
+                "packing divisibility (prod(target) %% 8 == 0, prod(upload "
+                "shape) %% 4 == 0) — using host preprocessing instead",
                 tuple(target_size), tuple(pad_shape))
             device_preprocess = False
 

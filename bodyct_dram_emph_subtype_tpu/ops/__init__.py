@@ -19,7 +19,12 @@ from .grid_sample import (
     grid_sample_3d,
 )
 from .masked_pool import lung_masked_fraction
-from .preprocess import fused_preprocess, preprocess_one
+from .preprocess import (
+    fused_preprocess,
+    fused_preprocess_preselected,
+    preprocess_one,
+    preprocess_one_preselected,
+)
 from .morphology import (
     binary_dilate,
     binary_dilate_np,
@@ -47,6 +52,7 @@ __all__ = [
     "depth_linspace_indices",
     "find_crops_np",
     "fused_preprocess",
+    "fused_preprocess_preselected",
     "gaussian_additive_noise",
     "gaussian_kernel_1d",
     "gaussian_smooth",
@@ -59,6 +65,7 @@ __all__ = [
     "nearest_gather_1d",
     "pad_bbox_mm",
     "preprocess_one",
+    "preprocess_one_preselected",
     "resize_linear",
     "resize_nearest",
     "standardize",
