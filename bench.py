@@ -82,7 +82,7 @@ def _force_fetch(out):
 
 def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     from bodyct_dram_emph_subtype_tpu.data.host_preprocess import (
-        depth_indices_np, window_moments_np)
+        depth_indices_np, resize_nearest_np, window_moments_np)
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.ops.packing import (pack10_host,
                                                           unpack10_device)
@@ -96,12 +96,12 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
     x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
         jax.random.PRNGKey(0))
-    # depth-preselected transport: the host takes the exact linspace depth
-    # slices and ships the standardize moments (exact int64 sums), so the
-    # upload is target-depth planes only — 20% fewer bytes on the e2e-
-    # gating link (DEVNOTES round-4 transfer notes)
+    # preselected transport: the host takes the exact linspace depth
+    # slices, ships the standardize moments (exact int64 sums), and ships
+    # the lung nearest-preselected to TARGET — ~25% fewer bytes on the
+    # e2e-gating link (DEVNOTES round-4 transfer notes)
     up_shape = (TARGET[0], PAD_SHAPE[1], PAD_SHAPE[2])
-    n_vox = int(np.prod(up_shape))
+    n_vox_t = int(np.prod(TARGET))
 
     @jax.jit
     def pipeline(variables, raw_packed, lung_bits, in_sizes, moments):
@@ -109,7 +109,8 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
         raw = unpack10_device(raw_packed, up_shape)
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
-        lungs = bits.reshape(raw.shape[0], -1)[:, :n_vox].reshape(raw.shape)
+        lungs = bits.reshape(raw.shape[0], -1)[:, :n_vox_t].reshape(
+            (raw.shape[0], *TARGET))
         pre = fused_preprocess_preselected(raw, lungs, in_sizes, moments,
                                            target_size=TARGET,
                                            em_threshold=-910.0)
@@ -139,13 +140,14 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
         sizes = np.tile(np.asarray(PAD_SHAPE, np.int32), (BATCH, 1))
         sizes[:, 0] -= r.randint(0, 16, BATCH)
         sel_img = np.empty((BATCH, *up_shape), np.int16)
-        sel_lung = np.empty((BATCH, *up_shape), np.uint8)
+        sel_lung = np.empty((BATCH, *TARGET), np.uint8)
         moments = np.empty((BATCH, 2), np.float32)
         for b in range(BATCH):
             d_in = int(sizes[b, 0])
             idx = depth_indices_np(d_in, TARGET[0])
             sel_img[b] = img[b, idx]
-            sel_lung[b] = lung[b, idx]
+            sel_lung[b] = resize_nearest_np(lung[b, idx], TARGET[1:],
+                                            (1, 2))
             moments[b] = window_moments_np(img[b, :d_in])
         packed = pack10_host(sel_img)
         lung_bits = np.packbits(sel_lung.reshape(BATCH, -1), axis=-1,

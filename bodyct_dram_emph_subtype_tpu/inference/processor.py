@@ -39,7 +39,7 @@ from ..data import DataLoader, SubtypingInference, write_arrays_to_mha
 from ..data.datasets import CLE_RATIO_MAP, PSE_RATIO_MAP, ratio_to_label
 from ..data.host_preprocess import (depth_indices_np, preprocess_sample,
                                     resize_linear_matmul_np,
-                                    window_moments_np)
+                                    resize_nearest_np, window_moments_np)
 from ..models import get_model_by_name
 from ..parallel.mesh import MeshSpec, get_mesh, shard_batch
 from ..train.checkpoint import greedy_restore_variables
@@ -69,16 +69,18 @@ class _PredictView:
 
 class _RawPredictView:
     """Device-pipeline view: the host ships only the cropped raw int16 CT +
-    lung mask in a static padded buffer (windowing / standardization /
-    resize / −910 ess mask all run fused on the TPU).  Round-4 transport:
-    the host takes the exact linspace DEPTH slices up front
-    (``depth_indices_np`` — bit-identical to the device's selection) and
-    ships the standardize moments from exact integer sums
-    (``window_moments_np``), so only ``target_d`` depth planes travel —
-    ~20% fewer bytes on the e2e-gating link, and crop depth can never
-    overflow the buffer.  Combined with 10-bit window-domain CT packing +
-    bit-packed lungs this is ~30x fewer host→device bytes than
-    preprocessed float32 tensors.
+    lung mask (windowing / standardization / resize / −910 ess mask all run
+    fused on the TPU).  Round-4 transport: the host takes the exact
+    linspace DEPTH slices of the CT up front (``depth_indices_np`` —
+    bit-identical to the device's selection), ships the standardize
+    moments from exact integer sums (``window_moments_np``), and ships the
+    lung NEAREST-preselected all the way to ``target_size``
+    (``resize_nearest_np`` — nearest resampling is a pure index selection,
+    bit-identical to the device gather).  Only ``target_d`` CT depth
+    planes + target-resolution lung bits travel — ~25% fewer bytes on the
+    e2e-gating link, and crop depth can never overflow the buffer.
+    Combined with 10-bit window-domain CT packing this is ~30x fewer
+    host→device bytes than preprocessed float32 tensors.
 
     A scan whose lung crop exceeds ``up_shape`` IN-PLANE does NOT abort
     the cohort: its index is recorded in :attr:`oversized` (the loader
@@ -86,9 +88,10 @@ class _RawPredictView:
     dummy zero-lung item is emitted; the caller skips the dummy on output
     and re-runs just those scans through the host-preprocess path."""
 
-    def __init__(self, dataset: SubtypingInference, up_shape):
+    def __init__(self, dataset: SubtypingInference, up_shape, target_size):
         self.dataset = dataset
         self.up_shape = tuple(up_shape)   # (target_d, Hpad, Wpad)
+        self.target_size = tuple(target_size)
         self.oversized: Set[int] = set()
         self._lock = threading.Lock()
 
@@ -99,7 +102,6 @@ class _RawPredictView:
         d = self.dataset[index]
         img = np.asarray(d["image"])
         img_p = np.full(self.up_shape, -2048, np.int16)
-        lung_p = np.zeros(self.up_shape, np.uint8)
         if any(s > p for s, p in zip(img.shape[1:], self.up_shape[1:])):
             with self._lock:
                 self.oversized.add(index)
@@ -107,7 +109,8 @@ class _RawPredictView:
                 "scan %s crop %s exceeds in-plane pad %s — will fall back "
                 "to host preprocessing for this scan only", d["uid"],
                 img.shape, self.up_shape[1:])
-            return {"image_raw": img_p, "lung_raw": lung_p,
+            return {"image_raw": img_p,
+                    "lung_raw": np.zeros(self.target_size, np.uint8),
                     "in_sizes": np.asarray(self.up_shape, np.int32),
                     "moments": np.zeros(2, np.float32),
                     "uid": d["uid"], "crop_slice": d["crop_slice"],
@@ -117,8 +120,10 @@ class _RawPredictView:
         idx = depth_indices_np(img.shape[0], self.up_shape[0])
         sl = (slice(None), slice(0, img.shape[1]), slice(0, img.shape[2]))
         img_p[sl] = img16[idx]
-        lung_p[sl] = np.asarray(d["lung_mask"])[idx] > 0
-        return {"image_raw": img_p, "lung_raw": lung_p,
+        lung_sel = resize_nearest_np(
+            (np.asarray(d["lung_mask"])[idx] > 0).astype(np.uint8),
+            self.target_size[1:], (1, 2))
+        return {"image_raw": img_p, "lung_raw": lung_sel,
                 "in_sizes": np.asarray(
                     (self.up_shape[0], img.shape[1], img.shape[2]),
                     np.int32),
@@ -161,7 +166,7 @@ def _cached_predict_packed(model, target_size, up_shape, mesh=None):
     from ..ops.preprocess import fused_preprocess_preselected
     from ..ops.resize import resize_linear_matmul_transpose
 
-    n_vox_pad = int(np.prod(up_shape))
+    n_vox_t = int(np.prod(target_size))
 
     @jax.jit
     def predict_packed(state, raw_packed, lung_bits, in_sizes, moments):
@@ -171,7 +176,8 @@ def _cached_predict_packed(model, target_size, up_shape, mesh=None):
         b = raw.shape[0]
         bits = jnp.right_shift(lung_bits[..., None],
                                jnp.arange(8, dtype=jnp.uint8)) & 1
-        lungs = bits.reshape(b, -1)[:, :n_vox_pad].reshape(raw.shape)
+        lungs = bits.reshape(b, -1)[:, :n_vox_t].reshape(
+            (b, *target_size))
         pre = fused_preprocess_preselected(raw, lungs, in_sizes, moments,
                                            target_size=target_size,
                                            em_threshold=-910.0)
@@ -318,7 +324,7 @@ def _device_path(model, state, mesh, dataset, make_loader,
     predict_packed = _cached_predict_packed(model, target_size, up_shape,
                                             mesh)
 
-    view = _RawPredictView(dataset, up_shape)
+    view = _RawPredictView(dataset, up_shape, target_size)
     fetcher = _FetchStage(pipeline)
     try:
         for batch in make_loader(view):

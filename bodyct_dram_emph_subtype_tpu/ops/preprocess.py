@@ -134,42 +134,48 @@ def preprocess_one(image_i16: jax.Array, lung: jax.Array,
             "em_mask": out_em.astype(jnp.float32)}
 
 
-def preprocess_one_preselected(image_i16: jax.Array, lung: jax.Array,
+def preprocess_one_preselected(image_i16: jax.Array, lung_sel: jax.Array,
                                in_sizes: jax.Array, moments: jax.Array,
                                target_size: Tuple[int, int, int],
                                em_threshold: float) -> Dict[str, jax.Array]:
-    """Depth-preselected variant of :func:`preprocess_one`.
+    """Host-preselected variant of :func:`preprocess_one`.
 
-    The host already (a) took the exact linspace depth slices
+    The host already (a) took the exact linspace depth slices of the CT
     (``data/host_preprocess.py::depth_indices_np`` — the same rational
     floor as :func:`~.resize.depth_linspace_indices`, so the selection is
-    bit-identical) and (b) computed the standardize moments over the FULL
+    bit-identical), (b) computed the standardize moments over the FULL
     valid volume from exact int64 sums
-    (``data/host_preprocess.py::window_moments_np``).  The device therefore
-    receives only ``target_size[0]`` depth planes — ~20% fewer host→device
-    bytes at deployment pad shapes, the measured e2e gate (DEVNOTES
-    round-4 transfer notes) — and runs no full-volume reductions.
+    (``data/host_preprocess.py::window_moments_np``), and (c) shipped the
+    lung mask fully nearest-preselected to ``target_size`` (nearest
+    resampling is a pure index selection, so the host table
+    ``resize_nearest_np`` equals the device gather bit-for-bit).  The
+    device therefore receives only ``target_size[0]`` CT depth planes and
+    target-resolution lung bits — ~25% fewer host→device bytes at
+    deployment pad shapes, the measured e2e gate (DEVNOTES round-4
+    transfer notes) — and runs no full-volume reductions and no mask
+    resizes.
+
+    The em mask commutes with nearest selection: ``nearest(em)`` selects
+    tap pixels, so ``em_out = (raw[tap] < thr) & lung[tap]`` — the raw
+    taps are gathered here (the in-plane selection indices land inside the
+    true extent by construction, so no validity mask is needed).
 
     ``image_i16``: (d_out, Hp, Wp) depth-selected planes;
+    ``lung_sel``: (d_out, h_out, w_out) nearest-preselected lung;
     ``moments``: (2,) float32 ``[mean, inv_std]`` of the windowed volume;
     ``in_sizes[0]`` is ignored (depth is already target-sized)."""
     d_new, h_new, w_new = target_size
     assert image_i16.shape[0] == d_new, (image_i16.shape, target_size)
+    assert lung_sel.shape == (d_new, h_new, w_new), lung_sel.shape
     lo, hi = WINDOW
-    img_d = image_i16.astype(jnp.float32)
-    valid_hw = (
-        (jax.lax.broadcasted_iota(jnp.int32, img_d.shape, 1) < in_sizes[1])
-        & (jax.lax.broadcasted_iota(jnp.int32, img_d.shape, 2)
-           < in_sizes[2]))
-    em_d = (img_d < em_threshold) & (lung > 0) & valid_hw
-    img = ((jnp.clip(img_d, lo, hi) - lo) / (hi - lo) - moments[0]) \
-        * moments[1]
+    img = ((jnp.clip(image_i16.astype(jnp.float32), lo, hi) - lo)
+           / (hi - lo) - moments[0]) * moments[1]
     out_img = _resize_plane_hw(img, in_sizes, h_new, w_new, is_mask=False)
-    out_lung = _resize_plane_hw((lung > 0).astype(jnp.uint8), in_sizes,
-                                h_new, w_new, is_mask=True)
-    out_em = _resize_plane_hw(em_d.astype(jnp.uint8), in_sizes,
-                              h_new, w_new, is_mask=True)
-    return {"image": out_img, "lung_mask": out_lung.astype(jnp.float32),
+    raw_tap = nearest_gather_1d(image_i16, h_new, -2, in_sizes[1])
+    raw_tap = nearest_gather_1d(raw_tap, w_new, -1, in_sizes[2])
+    out_em = (raw_tap.astype(jnp.float32) < em_threshold) & (lung_sel > 0)
+    return {"image": out_img,
+            "lung_mask": (lung_sel > 0).astype(jnp.float32),
             "em_mask": out_em.astype(jnp.float32)}
 
 
@@ -181,7 +187,8 @@ def fused_preprocess_preselected(
         em_threshold: float = -950.0) -> Dict[str, jax.Array]:
     """Batched :func:`preprocess_one_preselected`.
 
-    ``images_i16``: (B, d_out, Hp, Wp); ``moments``: (B, 2) float32."""
+    ``images_i16``: (B, d_out, Hp, Wp); ``lungs``: (B, *target_size)
+    nearest-preselected; ``moments``: (B, 2) float32."""
     fn = functools.partial(preprocess_one_preselected,
                            target_size=target_size,
                            em_threshold=em_threshold)

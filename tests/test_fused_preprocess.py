@@ -39,13 +39,14 @@ def test_fused_matches_host_chain(rng):
 
 
 def test_preselected_matches_fused(rng):
-    """The depth-preselected transport variant (host takes the exact
-    linspace depth slices + ships exact-integer standardize moments) must
-    reproduce the full-volume fused path: masks bit-exactly, image within
-    f32 moment-summation noise (the host moments are MORE accurate —
+    """The preselected transport variant (host takes the exact linspace
+    depth slices, nearest-preselects the lung to target resolution, and
+    ships exact-integer standardize moments) must reproduce the
+    full-volume fused path: masks bit-exactly, image within f32
+    moment-summation noise (the host moments are MORE accurate —
     ``window_moments_np``)."""
     from bodyct_dram_emph_subtype_tpu.data.host_preprocess import (
-        depth_indices_np, window_moments_np)
+        depth_indices_np, resize_nearest_np, window_moments_np)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import \
         fused_preprocess_preselected
 
@@ -56,7 +57,7 @@ def test_preselected_matches_fused(rng):
     lungs = np.zeros((B, *pad_shape), np.uint8)
     sizes = np.zeros((B, 3), np.int32)
     sel_imgs = np.zeros((B, target[0], *pad_shape[1:]), np.int16)
-    sel_lungs = np.zeros((B, target[0], *pad_shape[1:]), np.uint8)
+    sel_lungs = np.zeros((B, *target), np.uint8)
     moments = np.zeros((B, 2), np.float32)
     for b in range(B):
         shape = (40 - 4 * b, 48 - 6 * b, 56 - 8 * b)
@@ -67,7 +68,7 @@ def test_preselected_matches_fused(rng):
         sizes[b] = shape
         idx = depth_indices_np(shape[0], target[0])
         sel_imgs[b] = imgs[b, idx]
-        sel_lungs[b] = lungs[b, idx]
+        sel_lungs[b] = resize_nearest_np(lung[idx], target[1:], (1, 2))
         moments[b] = window_moments_np(img)
 
     ref = fused_preprocess(jnp.asarray(imgs), jnp.asarray(lungs),
