@@ -407,9 +407,9 @@ def bench_processor(jax):
         # pad_shape sized to this cohort's lung crops (a deployment sizes
         # its static buffer to its population) — halves upload bytes and
         # host packing work vs the conservative default
-        # device_preprocess is the documented high-throughput mode (opt-in
-        # for the clinical CLI, whose default is the strict host torch-
-        # parity path — ADVICE r2); the bench measures the fast path
+        # device_preprocess is the clinical default since round 4 (chip-
+        # measured host-parity drift 6.3e-6; --host_preprocess keeps the
+        # strict torch-parity oracle path)
         # batch_size 4 (reference test-time batch, test.py:36): the cohort
         # gate is the per-batch dispatch+fetch round-trip on the relay
         # (benchmarks/processor_split_probe.py), so fewer, fatter batches
