@@ -53,75 +53,16 @@ def remat_scopes(remat) -> frozenset:
     return frozenset(s.strip() for s in str(remat).split(",") if s.strip())
 
 
-# Default OFF: the quad region alone wins 19.8 vs 31.4 ms chained
-# (benchmarks/maxpool_probe3.py) but the decoder us2 skip pays the
-# quad->pair relayout back with interest in-model (170.8 vs 167.8 ms,
-# benchmarks/fwd_r3d_probe.py / stem_consumers_probe.py) — flip on when
-# the skip consumer reads the quad layout natively.
-_QUAD_STEM_ENABLE = False
-
-
-def set_quad_stem_enable(on: bool) -> None:
-    """Chip-A/B hook: toggle the quad stem->pool path."""
-    global _QUAD_STEM_ENABLE
-    _QUAD_STEM_ENABLE = bool(on)
-
-
-def use_quad_stem(x_shape, train: bool, packed_decoder: bool,
-                  dtype) -> bool:
-    """Static gate for the quad-layout stem->pool path: eval, conv mode
-    'roll', packed decoder (the skip consumer understands quad cats), and
-    the stem/pool shape+VMEM gates (``packed.stem_quad_supported``)."""
-    from . import blocks as _blocks
-    from .packed import stem_quad_supported
-    if train or not packed_decoder or _blocks._CONV3D_MODE != "roll":
-        return False
-    if not _QUAD_STEM_ENABLE:
-        return False
-    from ..parallel.mesh import mesh_fast_path_ok
-    if not mesh_fast_path_ok(x_shape[0]):
-        return False
-    import jax.numpy as _jnp
-    itemsize = _jnp.dtype(dtype).itemsize if dtype is not None else 4
-    return stem_quad_supported(tuple(x_shape), 64, itemsize)
-
-
-# Pair-output stem (StemConvS2D(pair_output=True)): the (2,2,4)-factor
-# conv's native output IS the W-pair packed stem — half the gross stem
-# FLOPs of the (2,2,8) form, a 128-lane materialize instead of 64, and
-# the decoder us2 skip concat needs no pack_w.  Chip A/B hook like the
-# quad path; flipped by benchmarks/stem_pair_probe.py + fwd_r3d_probe.
-_PAIR_STEM_ENABLE = False
-
-
-def set_pair_stem_enable(on: bool) -> None:
-    """Chip-A/B hook: toggle the pair-output stem->pool path."""
-    global _PAIR_STEM_ENABLE
-    _PAIR_STEM_ENABLE = bool(on)
-
-
-def use_pair_stem(x_shape, train: bool, packed_decoder: bool, dtype,
-                  n_blocks: int) -> bool:
-    """Static gate for the pair-output stem->fused-pool+layer1 path:
-    eval, conv mode 'roll', packed decoder (the us2 skip consumer reads
-    pair cats natively), BasicBlock layer1 depth ``n_blocks``, and the
-    fused pool+layer1 kernel's shape/VMEM gate on the NDHWC-equivalent
-    stem activation."""
-    from . import blocks as _blocks
-    from .packed import supports_fused_pool_layer
-    if train or not packed_decoder or _blocks._CONV3D_MODE != "roll":
-        return False
-    if not _PAIR_STEM_ENABLE:
-        return False
-    if len(x_shape) != 5 or x_shape[-1] != 1:
-        return False
-    b, d, h, w, _ = x_shape
-    if d % 4 or h % 4 or w % 8:
-        return False
-    import jax.numpy as _jnp
-    itemsize = _jnp.dtype(dtype).itemsize if dtype is not None else 4
-    return supports_fused_pool_layer((b, d // 2, h // 2, w // 2, 64),
-                                     64, n_blocks, itemsize)
+# Quarantined stem-layout experiments (quad / pair) live in
+# models/experimental.py — exact and tested, but measured OFF three ways
+# (the DEVNOTES "stem-region law").  Re-exported here so the A/B probes'
+# and tests' import surface is stable.
+from .experimental import (  # noqa: E402  (re-export)
+    set_pair_stem_enable,
+    set_quad_stem_enable,
+    use_pair_stem,
+    use_quad_stem,
+)
 
 
 class _Trunk(nn.Module):
@@ -151,54 +92,12 @@ class _Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from .packed import StemConvS2D
-        if self.pair_stem:
-            # pair-output stem (gate with use_pair_stem): the (2,2,4)-
-            # factor conv's native output IS the W-pair packed stem
-            # activation — BN/ReLU fold onto 128 lanes, the fused
-            # pool+layer1 kernel reads it via a cheap 128->256 lane quad
-            # view, and the decoder us2 concat consumes it with no pack.
-            dtype = self.dtype or x.dtype
-            conv1 = StemConvS2D(64, name="conv1", dtype=self.dtype,
-                                pair_output=True)
-            xpair = conv1(x)
-            dummy = jnp.zeros((1, 1, 1, 1, 128), dtype)
-            mul, add = NormWrapper(dtype=self.dtype, name="bn1")(
-                dummy, train, return_affine=True)     # logical (64,) f32
-            xpair = nn.relu(xpair.astype(jnp.float32) * jnp.tile(mul, 2)
-                            + jnp.tile(add, 2)).astype(dtype)
-            x1 = self._layer(xpair, 64, self.layers[0], 1, 1, "layer1",
-                             train, prepool="pair")
-            xp = None
-            x = xpair                                  # pair stem skip
-        elif self.quad_stem:
-            from ..ops.maxpool_kernel import max_pool_quads
-            from ..ops.stem_kernel import (fused_stem_pool,
-                                           supports_fused_stem)
-            from .packed import unpack_w
-            dtype = self.dtype or x.dtype
-            conv1 = StemConvS2D(64, name="conv1", dtype=self.dtype,
-                                quad_output=True)
-            dummy = jnp.zeros((1, 1, 1, 1, 128), dtype)
-            mul, add = NormWrapper(dtype=self.dtype, name="bn1")(
-                dummy, train, return_affine=True)     # logical (64,) f32
-            from ..parallel.mesh import shard_map_data
-            if supports_fused_stem(x.shape, 64, jnp.dtype(dtype).itemsize):
-                # one Pallas pass: conv+BN+ReLU+maxpool, stem written once
-                import functools
-                kernel = conv1(x, return_params=True)
-                xq, pooled = shard_map_data(
-                    functools.partial(fused_stem_pool, dtype=dtype),
-                    x, kernel, mul, add)
-            else:
-                xq = conv1(x)                         # (B,D2,H2,Wq,256)
-                xq = nn.relu(xq.astype(jnp.float32) * jnp.tile(mul, 4)
-                             + jnp.tile(add, 4)).astype(xq.dtype)
-                pooled = shard_map_data(max_pool_quads, xq)
-            xp = unpack_w(pooled)                     # /4, NDHWC
-            x = xq                                    # quad stem skip
+        from .packed import StemConvS2D, supports_fused_pool_layer
+        if self.pair_stem or self.quad_stem:
+            # quarantined layouts, opt-in A/B only (models/experimental.py)
+            from .experimental import experimental_stem
+            x, x1, xp = experimental_stem(self, x, train)
         else:
-            from .packed import supports_fused_pool_layer
             x = StemConvS2D(64, name="conv1", dtype=self.dtype)(x)
             x = NormWrapper(dtype=self.dtype, name="bn1")(x, train)
             x = nn.relu(x)                            # /2

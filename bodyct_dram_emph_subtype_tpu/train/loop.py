@@ -158,7 +158,7 @@ class SubtypeTrainer:
         step_kwargs = dict(fused_input=fused,
                            target_size=tuple(config.target_size),
                            donate=True)
-        if self.mode == "reg" and config.grad_accum > 1:
+        if config.grad_accum > 1:
             if config.batch_size % config.grad_accum:
                 raise ValueError(
                     f"batch_size {config.batch_size} must divide by "

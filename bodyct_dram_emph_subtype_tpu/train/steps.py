@@ -225,19 +225,21 @@ def make_reg_train_step(model, tx=None, num_data_shards: int = 1,
 
 def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
                         augment: bool = True, fused_input: bool = False,
-                        target_size=(128, 224, 288), donate: bool = False):
+                        target_size=(128, 224, 288), donate: bool = False,
+                        accum_steps: int = 1):
     """Classification training step (``models.py:236-264`` TRAIN branch):
     weighted CE on pooled CLE+PSE logits.
 
     Multi-chip note: the reference's DDP averages per-rank weighted means;
     we compute the global-batch weighted mean (identical at world size 1 and
-    the unbiased estimator in general).  ``donate`` as in
-    :func:`make_reg_train_step`."""
+    the unbiased estimator in general).  ``donate`` and ``accum_steps``
+    as in :func:`make_reg_train_step` — the reference scales the CLS batch
+    freely on GPU (``train.py:42``); accumulation is how the effective
+    batch scales past the per-chip compile/HBM ceiling here too."""
     tx = tx or make_optimizer()
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, batch, lr, cle_class_weights,
-             pse_class_weights, key):
+    def _micro_grads(state: TrainState, batch, lr, cle_class_weights,
+                     pse_class_weights, key):
         images, lungs, ems = _batch_inputs(batch, fused_input, target_size)
         if augment:
             images, lungs, ems = _augment_batch(images, lungs, ems, key)
@@ -259,17 +261,51 @@ def make_cls_train_step(model, tx=None, num_data_shards: int = 1,
                           "batch_stats": new_stats}
 
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params)
-        new_state = apply_updates(state, grads, tx, lr)
-        new_state = new_state.replace(batch_stats=aux["batch_stats"])
         preds = {
             "pred_cle_labels": jnp.argmax(aux["logits"][0], -1),
             "pred_pse_labels": jnp.argmax(aux["logits"][1], -1),
             "cle_labels": cle_labels, "pse_labels": pse_labels,
         }
         metrics = {k: aux[k] for k in ("loss", "loss_cle", "loss_pse")}
+        return grads, aux["batch_stats"], metrics, preds
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: TrainState, batch, lr, cle_class_weights,
+             pse_class_weights, key):
+        grads, new_stats, metrics, preds = _micro_grads(
+            state, batch, lr, cle_class_weights, pse_class_weights, key)
+        new_state = apply_updates(state, grads, tx, lr)
+        new_state = new_state.replace(batch_stats=new_stats)
         return new_state, metrics, preds
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step_accum(state: TrainState, batch, lr, cle_class_weights,
+                   pse_class_weights, key):
+        b = batch["cls_label"].shape[0]
+        assert b % accum_steps == 0, (b, accum_steps)
+        micro = {k: v.reshape(accum_steps, b // accum_steps, *v.shape[1:])
+                 for k, v in batch.items()}
+        keys = jax.random.split(key, accum_steps)
+
+        def body(carry, mb_and_key):
+            st, gsum = carry
+            mb, k = mb_and_key
+            grads, stats, metrics, preds = _micro_grads(
+                st, mb, lr, cle_class_weights, pse_class_weights, k)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (st.replace(batch_stats=stats), gsum), (metrics, preds)
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        (st, gsum), (metrics_s, preds_s) = jax.lax.scan(
+            body, (state, gzero), (micro, keys))
+        grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+        new_state = apply_updates(
+            state.replace(batch_stats=st.batch_stats), grads, tx, lr)
+        metrics = jax.tree.map(jnp.mean, metrics_s)
+        preds = jax.tree.map(lambda p: p.reshape(b, *p.shape[2:]), preds_s)
+        return new_state, metrics, preds
+
+    return step_accum if accum_steps > 1 else step
 
 
 def make_eval_step(model, mode: str, fused_input: bool = False,

@@ -169,3 +169,82 @@ def test_composed_reference_chain_oracle():
                                atol=2e-3)
     np.testing.assert_allclose(got_pse_map, want_pse_map, rtol=1e-3,
                                atol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_deployment_shape_production_config_oracle():
+    """The EXACT config bench/processor ship — med3ddram (resnet34segreg),
+    bf16, W-pair packed decoder — at the deployment input size
+    (128,224,288) vs the torch reference model (``med3d.py:369-388`` +
+    ``models.py:430-450`` predict math), tolerance-based (VERDICT r4
+    next-step #5).
+
+    The conv lowering here is the XLA 'direct' mode: the Pallas 'roll'
+    kernels are pinned == direct by the equivalence tests in
+    ``test_parallel.py``/``test_packed_decoder.py`` (interpret mode at
+    this volume size is not tractable on a 1-core host), so
+    direct==oracle here composes with roll==direct there to pin the full
+    production stack."""
+    import torch
+
+    shape = (128, 224, 288)
+    rng = np.random.RandomState(3)
+    zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+    lung = ((((zz - shape[0] / 2) / (shape[0] * 0.42)) ** 2
+             + ((yy - shape[1] / 2) / (shape[1] * 0.42)) ** 2
+             + ((xx - shape[2] / 2) / (shape[2] * 0.42)) ** 2) < 1)
+    img = rng.randn(*shape).astype(np.float32)          # standardized-like
+    ess = np.logical_and(img < -0.5, lung)
+
+    _stub_missing("SimpleITK")
+    _stub_missing("cv2")
+    _stub_missing("scipy")
+    _stub_missing("scipy.ndimage")
+    _stub_missing("pytorch_lightning")
+    _stub_missing("pytorch_lightning.loggers", TensorBoardLogger=object)
+    _stub_missing("omegaconf", OmegaConf=object)
+    _stub_missing("hydra")
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import med3d as ref_med3d
+        torch_model = ref_med3d.resnet34segreg().eval()
+        with torch.no_grad():
+            scans = torch.from_numpy(img)[None, None]
+            lungs = torch.from_numpy(lung.astype(np.float32))[None, None]
+            dense_outs, reg_outs = torch_model(scans, lungs)
+        want_cle_map = dense_outs[0][0, 0].numpy()
+        want_pse_map = dense_outs[1][0, 0].numpy()
+        want_cle = float(reg_outs[0][0])
+        want_pse = float(reg_outs[1][0])
+        torch_sd = torch_model.state_dict()
+        del torch_model, dense_outs, reg_outs
+    finally:
+        sys.path.pop(0)
+
+    # production config: bf16 compute + W-pair packed decoder
+    model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
+                              packed_decoder=True)
+    x0 = jnp.zeros((1, 16, 32, 32, 1), jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0), x0, x0, train=False))
+    variables, report = convert_state_dict(torch_sd, variables)
+    assert report["missing"] == 0 and report["shape_mismatch"] == 0
+
+    fwd = jax.jit(lambda v, x, l: model.apply(v, x, l, train=False))
+    dense, regs = fwd(variables, jnp.asarray(img)[None, ..., None],
+                      jnp.asarray(lung.astype(np.float32))[None, ..., None])
+    got_cle_map = np.asarray(dense[0][0, ..., 0], np.float32)
+    got_pse_map = np.asarray(dense[1][0, ..., 0], np.float32)
+    got_cle = float(regs[0][0])
+    got_pse = float(regs[1][0])
+
+    # bf16 convs: the lung-masked fractions (the clinical outputs) must
+    # stay within bf16 accumulation noise of the fp32 torch oracle; the
+    # sigmoid maps are compared in aggregate (isolated voxels can flip at
+    # steep sigmoid inputs under bf16 — DEVNOTES round-3e parity notes)
+    assert abs(got_cle - want_cle) < 5e-3, (got_cle, want_cle)
+    assert abs(got_pse - want_pse) < 5e-3, (got_pse, want_pse)
+    assert np.mean(np.abs(got_cle_map - want_cle_map)) < 5e-3
+    assert np.mean(np.abs(got_pse_map - want_pse_map)) < 5e-3
+    assert float(np.max(np.abs(got_cle_map - want_cle_map))) < 0.2

@@ -61,3 +61,50 @@ def test_pack10_preprocess_equals_raw_preprocess(rng):
         for k in ref:
             np.testing.assert_array_equal(np.asarray(ref[k]),
                                           np.asarray(via[k]))
+
+
+def test_pack10_gated_roundtrip_equals_ungated(rng):
+    """Lung-gated transport (VERDICT r4 next-step #2b): with the
+    deployment mask-out contract (outside the dilated lung == −2048,
+    reference ``dataset.py:69-70``) the gated stream + gate bits
+    reconstruct EXACTLY the clamped volume the ungated 10-bit pack
+    ships."""
+    from bodyct_dram_emph_subtype_tpu.ops.packing import (
+        gated_budget, pack10_gated_host, unpack10_gated_device)
+    shape = (8, 10, 16)
+    hu = rng.randint(-1100, -300, (3, *shape)).astype(np.int16)
+    zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
+    gate = ((((zz - 4) / 3.4) ** 2 + ((yy - 5) / 4.2) ** 2
+             + ((xx - 8) / 6.5) ** 2) < 1)[None].repeat(3, axis=0)
+    hu[~gate] = -2048                               # the mask-out contract
+    budget = gated_budget([g.sum() for g in gate], multiple=4)
+    packed, gate_bits = pack10_gated_host(hu, gate, budget)
+    assert packed.shape[-1] == budget + budget // 4
+    got = np.asarray(unpack10_gated_device(
+        jnp.asarray(packed), jnp.asarray(gate_bits), shape))
+    want = np.asarray(unpack10_device(jnp.asarray(pack10_host(hu)), shape))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack10_gated_budget_overflow_raises(rng):
+    from bodyct_dram_emph_subtype_tpu.ops.packing import pack10_gated_host
+    hu = np.full((1, 4, 4, 4), -700, np.int16)
+    gate = np.ones((1, 4, 4, 4), bool)
+    import pytest
+    with pytest.raises(ValueError):
+        pack10_gated_host(hu, gate, budget=32)
+
+
+def test_pack10_gated_value_gate_is_exact(rng):
+    """The minimal value gate (hu > WINDOW_LO): padding and mask-out drop
+    out automatically, and in-window values survive exactly."""
+    from bodyct_dram_emph_subtype_tpu.ops.packing import (
+        gated_budget, pack10_gated_host, unpack10_gated_device)
+    hu = rng.randint(-2048, -200, (2, 4, 8, 8)).astype(np.int16)
+    gate = hu > WINDOW_LO
+    budget = gated_budget(gate.reshape(2, -1).sum(-1), multiple=4)
+    packed, bits = pack10_gated_host(hu, gate, budget)
+    got = np.asarray(unpack10_gated_device(
+        jnp.asarray(packed), jnp.asarray(bits), (4, 8, 8)))
+    np.testing.assert_array_equal(
+        got, np.clip(hu, WINDOW_LO, WINDOW_HI).astype(np.float32))

@@ -228,3 +228,54 @@ def test_grad_accum_matches_single_step_on_repeated_microbatch():
     # momentum update twice; just require finiteness + movement here
     stats2 = jax.tree.leaves(jax.device_get(s2.batch_stats))
     assert all(np.isfinite(s).all() for s in stats2)
+
+
+def test_cls_grad_accum_matches_single_step_on_repeated_microbatch():
+    """CLS accumulation (``make_cls_train_step(accum_steps=2)``): same
+    equivalence as the reg test — two identical microbatches == one plain
+    step (reference scales the CLS batch freely on GPU, ``train.py:42``)."""
+    from bodyct_dram_emph_subtype_tpu.models.resnet3d import ResNetSegCls
+    from bodyct_dram_emph_subtype_tpu.train import (
+        TrainState, make_cls_train_step)
+
+    import optax
+
+    rng = np.random.RandomState(1)
+    shape = (8, 16, 16)
+    model = ResNetSegCls(layers=(1, 1, 1, 1), n_classes=(6, 3))
+    x0 = jnp.zeros((1, *shape, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    tx = optax.identity()
+    state = TrainState.create(dict(v), tx)
+
+    micro = {
+        "image": rng.randn(2, *shape).astype(np.float32),
+        "lung_mask": np.ones((2, *shape), np.float32),
+        "em_mask": (rng.rand(2, *shape) > 0.8).astype(np.float32),
+        "cls_label": np.asarray([2, 5], np.int32),
+        "pse_label": np.asarray([1, 0], np.int32),
+    }
+    full = {k: np.concatenate([v, v]) for k, v in micro.items()}
+    args = (jnp.asarray(1e-3), jnp.ones(6, jnp.float32) / 6,
+            jnp.ones(3, jnp.float32) / 3, jax.random.PRNGKey(7))
+
+    step1 = make_cls_train_step(model, tx, augment=False)
+    s1, m1, p1 = step1(state, micro, *args)
+
+    step2 = make_cls_train_step(model, tx, augment=False, accum_steps=2)
+    s2, m2, p2 = step2(state, full, *args)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for p0, a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                        jax.tree.leaves(jax.device_get(s2.params)),
+                        jax.tree.leaves(jax.device_get(s1.params))):
+        # atol 3e-7: the scanned vs unscanned programs fuse differently,
+        # so individual grad elements can drift by a couple of f32 ulps
+        np.testing.assert_allclose(np.asarray(a) - np.asarray(p0),
+                                   np.asarray(b) - np.asarray(p0),
+                                   rtol=1e-4, atol=3e-7)
+    assert np.asarray(p2["cle_labels"]).tolist() == [2, 5, 2, 5]
+    assert np.asarray(p2["pred_cle_labels"]).shape == (4,)
+    stats2 = jax.tree.leaves(jax.device_get(s2.batch_stats))
+    assert all(np.isfinite(s).all() for s in stats2)
