@@ -85,7 +85,8 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
         depth_indices_np, resize_nearest_np, window_moments_np)
     from bodyct_dram_emph_subtype_tpu.models import get_model_by_name
     from bodyct_dram_emph_subtype_tpu.ops.packing import (
-        gated_budget, pack10_gated_host, unpack10_gated_device)
+        gate_blocks_np, gated_budget, pack10_gated_host,
+        unpack10_gated_device)
     from bodyct_dram_emph_subtype_tpu.ops.preprocess import \
         fused_preprocess_preselected
     from bodyct_dram_emph_subtype_tpu.ops.resize import \
@@ -174,21 +175,24 @@ def bench_inference(jax, jnp, schedule="puts_first", packed_decoder=False):
             moments[b] = window_moments_np(img[b, :d_in])
         # the minimal exact gate: every voxel at/below the window floor
         # reconstructs to the identical clamp — −2048 mask-out + padding
-        # drop out automatically (ops/packing.py::pack10_gated_host)
-        sel_gate = sel_img > -1150
+        # drop out automatically.  BLOCK granularity (ops/packing.py):
+        # whole flat blocks ship verbatim, so reconstruction is a
+        # contiguous-slice gather, not a per-voxel one (the round-5a
+        # per-voxel gather cost 10x the pipeline's compute, chip-measured)
+        gb = gate_blocks_np((sel_img > -1150).reshape(BATCH, -1))
         lung_bits = np.packbits(sel_lung.reshape(BATCH, -1), axis=-1,
                                 bitorder="little")
         sizes[:, 0] = TARGET[0]
-        counts = sel_gate.reshape(BATCH, -1).sum(-1)
-        return sel_img, sel_gate, counts, lung_bits, sizes, moments
+        counts = gb.sum(-1)          # touched blocks per sample
+        return sel_img, gb, counts, lung_bits, sizes, moments
 
     raw_batches = [make_host_batch(s) for s in range(2)]
     budget = gated_budget([c for rb in raw_batches for c in rb[2]])
     pipeline = make_pipeline(budget)
     host_batches = []
-    for sel_img, sel_gate, _, lung_bits, sizes, moments in raw_batches:
-        packed, gate_bits = pack10_gated_host(sel_img, sel_gate, budget)
-        host_batches.append((packed, gate_bits, lung_bits, sizes, moments))
+    for sel_img, gb, _, lung_bits, sizes, moments in raw_batches:
+        packed, blk_bits = pack10_gated_host(sel_img, gb, budget)
+        host_batches.append((packed, blk_bits, lung_bits, sizes, moments))
 
     # transfer barrier: this relay's block_until_ready can return early
     # (DEVNOTES), so "this buffer is resident" is only provable by running

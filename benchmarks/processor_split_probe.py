@@ -49,8 +49,12 @@ def main():
 
     ds_mod.read_mha = timed("mha_decode", ds_mod.read_mha)
     mha_mod.write_mha = timed("mha_write", mha_mod.write_mha)
-    morph_mod.binary_dilate_np = timed("dilate", morph_mod.binary_dilate_np)
+    # datasets.py imports these at module top — patch ITS namespace
+    ds_mod.binary_dilate_np = timed("dilate", morph_mod.binary_dilate_np)
+    ds_mod.find_crops_np = timed("find_crops", morph_mod.find_crops_np)
     pack_mod.pack12_host = timed("pack12", pack_mod.pack12_host)
+    pack_mod.pack10_gated_host = timed("pack10_gated",
+                                       pack_mod.pack10_gated_host)
     proc_mod.resize_linear_matmul_np = timed(
         "host_resize", proc_mod.resize_linear_matmul_np)
     proc_mod._finalize_scan = timed("finalize_total", proc_mod._finalize_scan)

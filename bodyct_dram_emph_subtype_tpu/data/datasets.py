@@ -17,7 +17,6 @@ with the same dict schema (the TPU-native cache format).
 """
 from __future__ import annotations
 
-import copy
 import glob
 import logging
 from pathlib import Path
@@ -56,11 +55,18 @@ class SubtypingInference:
     label_to_pse = LABEL_TO_PSE
 
     def __init__(self, scan_path: str, lobe_path: str, transforms=None,
-                 keep_sorted: bool = True, crop_border: int = 5):
+                 keep_sorted: bool = True, crop_border: int = 5,
+                 keep_original: bool = True, compute_ess: bool = True):
         self.scan_path = scan_path
         self.lobe_path = lobe_path
         self.transforms = transforms
         self.crop_border = crop_border
+        # the deployment device pipeline neither reads ``original_image``
+        # nor ``ess_mask`` (the ess threshold runs fused on device), so the
+        # processor disables both — skipping a full-crop copy and two
+        # full-crop compare/and passes per scan on the 1-core host
+        self.keep_original = keep_original
+        self.compute_ess = compute_ess
         self.scan_files = sorted(glob.glob(scan_path + "/*.mha"))
         self.lobe_files = sorted(glob.glob(lobe_path + "/*.mha"))
         self.scan_meta_cache: Dict[str, dict] = {}
@@ -85,30 +91,43 @@ class SubtypingInference:
         lobe_file = self.lobe_files[index]
         scan_name = Path(scan_file).stem
         scan, origin, spacing, direction = self.read_image(scan_file)
-        scan = np.array(scan)  # mutable copy
-        original_scan = copy.deepcopy(scan)
         original_size = scan.shape
         lobe, *_ = self.read_image(lobe_file)
         assert lobe.shape == scan.shape, \
             "scan and lobe segmentation have different shapes."
         lung = lobe > 0
-        dlung = binary_dilate_np(lung, iterations=2)
-        scan[~dlung] = -2048
         slices = find_crops_np(lung, spacing, self.crop_border)
-        scan = scan[slices]
+        # crop FIRST, then dilate + mask out only the crop: the reference
+        # dilates the whole volume before cropping (dataset.py:69-71), but
+        # the 2-iteration 3^3 dilation reaches exactly 2 voxels, so
+        # dilating the crop expanded by 2 reproduces the full-volume
+        # dilation everywhere inside the crop — identical output at a
+        # fraction of the host work, and the full scan is never copied
+        # astype (always copies) — scan may be the codec's read-only
+        # zero-copy file view, and the crop can alias the whole volume
+        image = scan[slices].astype(np.int16)
+        original = image.copy() if self.keep_original else None
+        ext = tuple(slice(max(0, s.start - 2), min(n, s.stop + 2))
+                    for s, n in zip(slices, lung.shape))
+        inner = tuple(slice(s.start - e.start,
+                            s.start - e.start + (s.stop - s.start))
+                      for s, e in zip(slices, ext))
+        dlung = binary_dilate_np(lung[ext], iterations=2)[inner]
+        image[~dlung] = -2048
         lung = lung[slices]
-        original_scan = original_scan[slices]
         ret = {
-            "image": scan.astype(np.int16),
-            "original_image": original_scan.astype(np.int16),
-            "lung_mask": lung > 0,
-            # NOTE: −910 HU here vs −950 in training — a reference quirk we
-            # preserve (dataset.py:79 vs dataset.py:149)
-            "ess_mask": np.logical_and(scan < -910, lung > 0),
+            "image": image,
+            "lung_mask": lung,
             "crop_slice": np.asarray([(s.start, s.stop) for s in slices]),
             "original_size": np.asarray(original_size),
             "uid": scan_name,
         }
+        if original is not None:
+            ret["original_image"] = original
+        if self.compute_ess:
+            # NOTE: −910 HU here vs −950 in training — a reference quirk we
+            # preserve (dataset.py:79 vs dataset.py:149)
+            ret["ess_mask"] = np.logical_and(image < -910, lung)
         self.scan_meta_cache[scan_name] = {
             "spacing": spacing, "origin": origin, "direction": direction,
         }

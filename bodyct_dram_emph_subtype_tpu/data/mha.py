@@ -71,21 +71,28 @@ def read_mha(path: Union[str, Path]) -> MhaImage:
     if header.get("BinaryDataByteOrderMSB", "False") == "True":
         dtype = dtype.newbyteorder(">")
 
-    payload = raw[pos:]
+    # memoryview: a bytes slice would copy the whole payload
+    payload = memoryview(raw)[pos:]
     if header.get("CompressedData", "False") == "True":
         payload = zlib.decompress(payload)
     count = int(np.prod(dim_size))
     array = np.frombuffer(payload, dtype=dtype, count=count)
     # MHA data is x-fastest; DimSize is (x, y, z) → numpy shape reversed.
     array = array.reshape(tuple(reversed(dim_size)))
+    native = dtype.newbyteorder("=")
+    if dtype != native:
+        array = array.astype(native)
 
     def floats(key, default):
         if key in header:
             return tuple(float(v) for v in header[key].split())
         return default
 
+    # NOTE: for uncompressed native-endian files this is a zero-copy
+    # READ-ONLY view over the file bytes — callers that mutate must copy
+    # (the deployment pipeline only ever mutates crops, which are copies)
     return MhaImage(
-        array=np.ascontiguousarray(array.astype(dtype.newbyteorder("="))),
+        array=np.ascontiguousarray(array),
         spacing=floats("ElementSpacing", (1.0,) * ndims),
         origin=floats("Offset", (0.0,) * ndims),
         direction=floats("TransformMatrix",
@@ -148,6 +155,7 @@ def write_arrays_to_mha(target_dir: Union[str, Path], arrays, names,
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     for arr, name in zip(arrays, names):
-        write_mha(target_dir / f"{name}.mha", np.asarray(arr).astype(dtype),
+        write_mha(target_dir / f"{name}.mha",
+                  np.asarray(arr).astype(dtype, copy=False),
                   spacing=spacing, origin=origin, direction=direction,
                   compressed=True)

@@ -106,12 +106,25 @@ def _shift_bool(a: np.ndarray, shift: int, axis: int) -> np.ndarray:
 
 def find_crops_np(mask: np.ndarray, spacing: Sequence[float],
                   border_mm: float) -> Tuple[slice, ...]:
-    """Host bbox-with-border crop slices, parity with ``utils.py:53-63``."""
-    nz = np.nonzero(mask > 0)
+    """Host bbox-with-border crop slices, parity with ``utils.py:53-63``.
+
+    Per-axis ``any`` reductions + argmax instead of ``np.nonzero``: the
+    latter materializes index arrays for every nonzero voxel (hundreds of
+    MB for a deployment lung mask), while the reductions stream the volume
+    twice with no allocation — the bbox is identical."""
+    m = mask if mask.dtype == np.bool_ else mask > 0
+    if m.ndim == 3:
+        zy = m.any(axis=2)
+        lines = [zy.any(axis=1), zy.any(axis=0), m.any(axis=(0, 1))]
+    else:
+        lines = [m.any(axis=tuple(a for a in range(m.ndim) if a != axis))
+                 for axis in range(m.ndim)]
     slices = []
-    for axis in range(mask.ndim):
-        start = int(nz[axis].min())
-        stop = int(nz[axis].max()) + 1
+    for axis, line in enumerate(lines):
+        start = int(line.argmax())
+        if not line[start]:
+            raise ValueError("empty mask: no nonzero voxels to crop")
+        stop = len(line) - int(line[::-1].argmax())
         if border_mm > 0:
             pad = int(math.ceil(border_mm / float(spacing[axis])))
             start = max(0, start - pad)

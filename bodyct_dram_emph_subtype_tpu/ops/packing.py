@@ -103,83 +103,114 @@ def unpack10_device(packed: jax.Array, out_shape) -> jax.Array:
     return out[0] if squeeze else out
 
 
-def gated_budget(counts, multiple: int = 512) -> int:
-    """Static stream capacity for :func:`pack10_gated_host`: the max
-    in-gate voxel count over a cohort, rounded up to ``multiple`` (keeps
-    the packed stream %4 and lane-friendly).  A deployment sizes this from
-    its population the same way it sizes ``pad_shape``."""
-    m = int(np.max(counts)) if len(np.atleast_1d(counts)) else multiple
-    return max(((m + multiple - 1) // multiple) * multiple, multiple)
+GATE_BLOCK = 512
 
 
-def pack10_gated_host(hu: np.ndarray, gate: np.ndarray, budget: int):
-    """Gated window-domain transport (exact): ship only the CT values
-    under ``gate``.
+def pick_gate_block(n_vox: int, candidates=(512, 256, 128, 64)) -> int:
+    """Largest block size whose block count divides the packbits byte
+    granularity (``n_vox % (block * 8) == 0``), or 0 when none fits —
+    the caller then falls back to the ungated transport."""
+    for b in candidates:
+        if n_vox % (b * 8) == 0:
+            return b
+    return 0
 
-    Out-of-gate voxels reconstruct to ``WINDOW_LO`` on device — exactly
-    the clamp every ≤ −1150 HU value maps to anyway — so ANY gate that
-    covers ``{hu > WINDOW_LO}`` is lossless; the minimal exact gate is
-    ``hu > WINDOW_LO`` itself.  The deployment contract sets everything
-    outside the 2x-dilated lung to −2048 (reference ``dataset.py:69-70``)
-    and pads with −2048, so at real lung occupancies (~40-60% of the bbox
-    crop) the value gate cuts the dominant upload ~40-50%: gate bits are
-    1 bit/voxel vs 10 for values (DEVNOTES round-4: the host→device link
-    is the e2e gate at ~50 MB/s effective).
 
-    ``hu``: (B, ...) int16; ``gate``: same shape bool, ⊇ {hu > WINDOW_LO};
-    ``budget``: static per-cohort capacity (:func:`gated_budget`),
-    %4 == 0.
+def gate_blocks_np(gate: np.ndarray, block: int = GATE_BLOCK) -> np.ndarray:
+    """Per-voxel gate (B, ...) bool → per-block any-reduction (B, nblk)."""
+    g = gate.reshape(gate.shape[0], -1)
+    assert g.shape[1] % block == 0, (g.shape, block)
+    return g.reshape(g.shape[0], -1, block).any(-1)
 
-    Returns ``(packed, gate_bits)``: the 10-bit packed (B, budget·1.25)
-    stream (in-gate values in flat scan order, WINDOW_LO padding) and the
-    little-endian packbits of the gate (B, N/8).  Raises ``ValueError``
-    when a sample exceeds the budget (caller falls back to the ungated
-    transport or re-sizes the budget).
-    """
-    assert budget % 4 == 0, budget
+
+def gated_budget(block_counts, block: int = GATE_BLOCK,
+                 multiple: int = 8) -> int:
+    """Static stream capacity IN VOXELS for :func:`pack10_gated_host`:
+    the max touched-BLOCK count over a cohort, rounded up to ``multiple``
+    blocks, times the block size.  A deployment sizes this from its
+    population the same way it sizes ``pad_shape``."""
+    m = int(np.max(block_counts)) if len(np.atleast_1d(block_counts)) else 1
+    nb = max(((m + multiple - 1) // multiple) * multiple, multiple)
+    return nb * block
+
+
+def pack10_gated_host(hu: np.ndarray, gate_blk: np.ndarray, budget: int,
+                      block: int = GATE_BLOCK):
+    """BLOCK-gated window-domain transport (exact): ship only the
+    ``block``-voxel flat blocks whose gate has any live voxel — whole
+    blocks travel VERBATIM (window-clamped).
+
+    Exactness: a block is dropped only when every voxel in it is at/below
+    the window floor, and every such voxel window-clamps to ``WINDOW_LO``
+    — which is precisely what the device reconstructs for dropped blocks.
+    The deployment contract sets everything outside the 2x-dilated lung
+    to −2048 (reference ``dataset.py:69-70``) and pads with −2048, so at
+    real lung occupancies the block gate cuts the dominant upload
+    ~35-50%.
+
+    Why BLOCKS and not voxels: the round-5a per-voxel gate needed a
+    14M-element data-dependent gather on device, which cratered the
+    pipeline's compute from 24 → 2.6 vol/s/chip (chip-measured) — a
+    textbook TPU anti-pattern.  Block reconstruction is a gather of a few
+    thousand *contiguous lane-aligned slices* plus a tiny cumsum: XLA
+    lowers it to dynamic slices at near-HBM-bandwidth.  Blocks also make
+    per-voxel gate planes unnecessary (1 bit per block, not per voxel).
+
+    ``hu``: (B, ...) int16; ``gate_blk``: (B, nblk) bool from
+    :func:`gate_blocks_np` over any gate ⊇ ``{hu > WINDOW_LO}``;
+    ``budget``: voxel capacity (:func:`gated_budget`), % (4·block) == 0.
+
+    Returns ``(packed, blk_bits)``: the 10-bit packed (B, budget·1.25)
+    stream (touched blocks in flat scan order, WINDOW_LO padding) and the
+    little-endian packbits of the block gate (B, nblk/8).  Raises
+    ``ValueError`` when a sample exceeds the budget (caller falls back to
+    the ungated transport or re-sizes the budget)."""
+    assert budget % block == 0 and budget % 4 == 0, (budget, block)
     flat = hu.reshape(hu.shape[0], -1)
-    g = gate.reshape(gate.shape[0], -1).astype(bool)
-    assert flat.shape == g.shape, (flat.shape, g.shape)
-    assert flat.shape[1] % 8 == 0, "voxel count must be %8 for packbits"
+    n = flat.shape[1]
+    assert n % block == 0, (n, block)
+    nblk = n // block
+    gb = np.asarray(gate_blk, bool).reshape(hu.shape[0], nblk)
+    assert nblk % 8 == 0, "block count must be %8 for packbits"
     vals = np.full((flat.shape[0], budget), WINDOW_LO, np.int16)
     for b in range(flat.shape[0]):
-        v = flat[b][g[b]]
-        if v.size > budget:
+        sel = flat[b].reshape(nblk, block)[gb[b]]
+        if sel.size > budget:
             raise ValueError(
-                f"gated voxel count {v.size} exceeds budget {budget}")
-        vals[b, :v.size] = v
-    gate_bits = np.packbits(g, axis=-1, bitorder="little")
-    return pack10_host(vals), gate_bits
+                f"gated voxel count {sel.size} exceeds budget {budget}")
+        vals[b, :sel.size] = sel.ravel()
+    blk_bits = np.packbits(gb, axis=-1, bitorder="little")
+    return pack10_host(vals), blk_bits
 
 
-def unpack10_gated_device(packed: jax.Array, gate_bits: jax.Array,
-                          out_shape) -> jax.Array:
+def unpack10_gated_device(packed: jax.Array, blk_bits: jax.Array,
+                          out_shape, block: int = GATE_BLOCK) -> jax.Array:
     """Device-side inverse of :func:`pack10_gated_host`: (B, budget·1.25)
-    uint8 stream + (B, N/8) gate bytes → (B, *out_shape) float32 clamped
-    HU, with WINDOW_LO outside the gate (== the window clamp of the
-    deployment's −2048 mask-out, so downstream preprocessing is bit-equal
-    to the ungated transport).
+    uint8 stream + (B, nblk/8) block-gate bytes → (B, *out_shape) float32
+    clamped HU, with WINDOW_LO in dropped blocks (== the window clamp of
+    the deployment's −2048 mask-out, so downstream preprocessing is
+    bit-equal to the ungated transport).
 
-    The in-gate positions are the exclusive prefix sum of the gate bits;
-    computed byte-wise (popcount cumsum over N/8 + an 8-wide intra-byte
-    prefix) so the long scan runs over 8x fewer elements."""
+    The destination block's source index is the exclusive prefix sum of
+    the block bits (a cumsum over n/block ≈ tens of thousands, not over
+    voxels); reconstruction is one contiguous-slice gather per block."""
     squeeze = packed.ndim == 1
     if squeeze:
-        packed, gate_bits = packed[None], gate_bits[None]
+        packed, blk_bits = packed[None], blk_bits[None]
     n = int(np.prod(out_shape))
-    assert n % 8 == 0, out_shape
+    assert n % block == 0, (out_shape, block)
+    nblk = n // block
     budget = packed.shape[-1] * 4 // 5
-    stream = _unpack10_flat(packed, budget)            # (B, budget) f32
-    bytes_ = gate_bits.astype(jnp.int32)               # (B, N/8)
-    bits = (bytes_[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
-    within = jnp.cumsum(bits, axis=-1) - bits          # (B, N/8, 8)
-    pop = jnp.sum(bits, axis=-1)                       # (B, N/8)
-    byte_off = jnp.cumsum(pop, axis=-1) - pop
-    pos = (byte_off[..., None] + within).reshape(bits.shape[0], n)
-    flat = jnp.take_along_axis(
-        stream, jnp.clip(pos, 0, budget - 1), axis=-1)
-    flat = jnp.where(bits.reshape(bits.shape[0], n) > 0, flat,
-                     jnp.float32(WINDOW_LO))
+    nb_budget = budget // block
+    stream = _unpack10_flat(packed, budget).reshape(
+        packed.shape[0], nb_budget, block)
+    bytes_ = blk_bits.astype(jnp.int32)                # (B, nblk/8)
+    bits = ((bytes_[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+            ).reshape(packed.shape[0], nblk)
+    idx = jnp.cumsum(bits, axis=-1) - bits             # exclusive prefix
+    blocks = jnp.take_along_axis(
+        stream, jnp.clip(idx, 0, nb_budget - 1)[..., None], axis=1)
+    flat = jnp.where(bits[..., None] > 0, blocks, jnp.float32(WINDOW_LO))
     out = flat.reshape(packed.shape[0], *out_shape)
     return out[0] if squeeze else out
 

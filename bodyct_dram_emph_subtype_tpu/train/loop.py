@@ -464,14 +464,18 @@ class SubtypeTrainer:
                    if not k.startswith("dense")}
             out["index"] = np.asarray(batch["index"]).reshape(-1)
             outputs.append(out)
-            # heatmap tiles: single-process only (the dense maps are not
-            # fully addressable across processes; the reference likewise
-            # draws only rank 0's local batch)
-            if (jax.process_count() == 1 and jax.process_index() == 0
+            # heatmap tiles: the reference draws rank 0's LOCAL batch
+            # (models.py:266-272).  The dense maps are batch-sharded, so
+            # each process can address exactly its local rows —
+            # process_local_data extracts them (the same local-row ↔
+            # host-batch correspondence the metrics path above relies on)
+            if (jax.process_index() == 0
                     and batch_idx < cfg.debug_draw_batches):
                 draw_batch = (self._host_view_of_raw_batch(batch)
                               if device_mode else batch)
-                self._draw_predictions(draw_batch, res, phase, epoch)
+                local_res = {k: process_local_data(v)
+                             for k, v in res.items()}
+                self._draw_predictions(draw_batch, local_res, phase, epoch)
         return self._epoch_end(outputs, phase, epoch)
 
     def _eval_step_fused(self):

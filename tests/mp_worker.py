@@ -77,6 +77,11 @@ assert device_batch["image"].shape == (GLOBAL_BATCH, D, H, W), \
 # global-array contents must equal the concatenation of the sub-batches
 lbl = process_local_data(device_batch["cls_label"])
 np.testing.assert_array_equal(lbl, local["cls_label"])
+# volume-shaped arrays too: the multi-process heatmap draw extracts the
+# batch-sharded dense maps row-wise with process_local_data
+# (train/loop.py::evaluate) — row i must be THIS process's local row i
+np.testing.assert_array_equal(process_local_data(device_batch["image"]),
+                              local["image"])
 
 x = jnp.zeros((1, D, H, W, 1), jnp.float32)
 variables = model.init(jax.random.PRNGKey(0), x, x, train=False)

@@ -70,6 +70,63 @@ def test_inference_dataset(tmp_path):
     assert ds.scan_meta_cache["case1"]["spacing"] == (2.0, 0.7, 0.7)
 
 
+def test_inference_dataset_reference_semantics(tmp_path):
+    """The crop-local dilation/mask-out (round 5) must reproduce the
+    reference order exactly: dilate FULL volume ×2, mask −2048, crop
+    (reference dataset.py:68-71) — including a lung touching the volume
+    edge (crop == whole volume, exercising the codec's read-only view)."""
+    from bodyct_dram_emph_subtype_tpu.ops.morphology import (
+        binary_dilate_np, find_crops_np)
+    scan_dir = tmp_path / "ct"
+    lobe_dir = tmp_path / "lobes"
+    scan_dir.mkdir()
+    lobe_dir.mkdir()
+    rng = np.random.RandomState(3)
+    ct = rng.randint(-1100, -600, (20, 22, 24)).astype(np.int16)
+    lobe = np.zeros_like(ct, np.uint8)
+    lobe[0:20, 1:21, 0:24] = rng.rand(20, 20, 24) > 0.5  # edge-touching
+    write_mha(scan_dir / "edge.mha", ct, (0.7, 0.7, 0.7))
+    write_mha(lobe_dir / "edge.mha", lobe, (0.7, 0.7, 0.7))
+    item = SubtypingInference(str(scan_dir), str(lobe_dir))[0]
+    lung = lobe > 0
+    masked = ct.copy()
+    masked[~binary_dilate_np(lung, 2)] = -2048
+    sl = find_crops_np(lung, (0.7, 0.7, 0.7), 5)
+    np.testing.assert_array_equal(item["image"], masked[sl])
+    np.testing.assert_array_equal(item["original_image"], ct[sl])
+    np.testing.assert_array_equal(item["lung_mask"], lung[sl])
+    np.testing.assert_array_equal(
+        item["ess_mask"], (masked[sl] < -910) & lung[sl])
+    # lean mode (the deployment device pipeline): same image, no extras
+    lean = SubtypingInference(str(scan_dir), str(lobe_dir),
+                              keep_original=False, compute_ess=False)[0]
+    np.testing.assert_array_equal(lean["image"], item["image"])
+    assert "original_image" not in lean and "ess_mask" not in lean
+
+
+def test_find_crops_np_matches_nonzero_reference():
+    import math
+    from bodyct_dram_emph_subtype_tpu.ops.morphology import find_crops_np
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        shape = tuple(rng.randint(5, 30, 3))
+        mask = rng.rand(*shape) > 0.97
+        mask[tuple(d // 2 for d in shape)] = True
+        spacing = rng.uniform(0.4, 2.5, 3)
+        border = int(rng.choice([0, 5]))
+        nz = np.nonzero(mask)
+        want = []
+        for ax in range(3):
+            s, e = int(nz[ax].min()), int(nz[ax].max()) + 1
+            if border > 0:
+                p = int(math.ceil(border / spacing[ax]))
+                s, e = max(0, s - p), min(shape[ax], e + p)
+            want.append(slice(s, e))
+        assert find_crops_np(mask, spacing, border) == tuple(want)
+    with pytest.raises(ValueError):
+        find_crops_np(np.zeros((4, 4, 4), bool), (1.0, 1.0, 1.0), 0)
+
+
 def make_training_archive(tmp_path, n=24, shape=(16, 20, 24), seed=0):
     rng = np.random.RandomState(seed)
     rows = ["SeriesInstanceUID,CT_Visual_Emph_Severity_P1,"

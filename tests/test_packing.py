@@ -64,47 +64,64 @@ def test_pack10_preprocess_equals_raw_preprocess(rng):
 
 
 def test_pack10_gated_roundtrip_equals_ungated(rng):
-    """Lung-gated transport (VERDICT r4 next-step #2b): with the
-    deployment mask-out contract (outside the dilated lung == −2048,
-    reference ``dataset.py:69-70``) the gated stream + gate bits
-    reconstruct EXACTLY the clamped volume the ungated 10-bit pack
-    ships."""
+    """Block-gated transport (round 5): with the deployment mask-out
+    contract (outside the dilated lung == −2048, reference
+    ``dataset.py:69-70``) the block stream + block bits reconstruct
+    EXACTLY the clamped volume the ungated 10-bit pack ships."""
     from bodyct_dram_emph_subtype_tpu.ops.packing import (
-        gated_budget, pack10_gated_host, unpack10_gated_device)
-    shape = (8, 10, 16)
+        gate_blocks_np, gated_budget, pack10_gated_host,
+        unpack10_gated_device)
+    shape = (8, 16, 16)                      # 2048 vox → 32 blocks of 64
+    block = 64
     hu = rng.randint(-1100, -300, (3, *shape)).astype(np.int16)
     zz, yy, xx = np.mgrid[:shape[0], :shape[1], :shape[2]]
-    gate = ((((zz - 4) / 3.4) ** 2 + ((yy - 5) / 4.2) ** 2
+    gate = ((((zz - 4) / 3.4) ** 2 + ((yy - 8) / 6.2) ** 2
              + ((xx - 8) / 6.5) ** 2) < 1)[None].repeat(3, axis=0)
     hu[~gate] = -2048                               # the mask-out contract
-    budget = gated_budget([g.sum() for g in gate], multiple=4)
-    packed, gate_bits = pack10_gated_host(hu, gate, budget)
+    gb = gate_blocks_np(gate.reshape(3, -1), block=block)
+    assert 0 < gb.sum() < gb.size, "need a non-trivial block gate"
+    budget = gated_budget(gb.sum(-1), block=block, multiple=1)
+    packed, blk_bits = pack10_gated_host(hu, gb, budget, block=block)
     assert packed.shape[-1] == budget + budget // 4
     got = np.asarray(unpack10_gated_device(
-        jnp.asarray(packed), jnp.asarray(gate_bits), shape))
+        jnp.asarray(packed), jnp.asarray(blk_bits), shape, block=block))
     want = np.asarray(unpack10_device(jnp.asarray(pack10_host(hu)), shape))
     np.testing.assert_array_equal(got, want)
 
 
 def test_pack10_gated_budget_overflow_raises(rng):
-    from bodyct_dram_emph_subtype_tpu.ops.packing import pack10_gated_host
-    hu = np.full((1, 4, 4, 4), -700, np.int16)
-    gate = np.ones((1, 4, 4, 4), bool)
+    from bodyct_dram_emph_subtype_tpu.ops.packing import (
+        gate_blocks_np, pack10_gated_host)
+    hu = np.full((1, 8, 8, 8), -700, np.int16)
+    gb = gate_blocks_np(np.ones((1, 512), bool), block=64)
     import pytest
     with pytest.raises(ValueError):
-        pack10_gated_host(hu, gate, budget=32)
+        pack10_gated_host(hu, gb, budget=256, block=64)
 
 
 def test_pack10_gated_value_gate_is_exact(rng):
-    """The minimal value gate (hu > WINDOW_LO): padding and mask-out drop
-    out automatically, and in-window values survive exactly."""
+    """The minimal value gate (hu > WINDOW_LO): a block is dropped only
+    when EVERY voxel in it sits at/below the window floor — all of which
+    reconstruct to the identical clamp — so padding and mask-out drop out
+    automatically and in-window values survive exactly."""
     from bodyct_dram_emph_subtype_tpu.ops.packing import (
-        gated_budget, pack10_gated_host, unpack10_gated_device)
-    hu = rng.randint(-2048, -200, (2, 4, 8, 8)).astype(np.int16)
-    gate = hu > WINDOW_LO
-    budget = gated_budget(gate.reshape(2, -1).sum(-1), multiple=4)
-    packed, bits = pack10_gated_host(hu, gate, budget)
+        gate_blocks_np, gated_budget, pack10_gated_host,
+        unpack10_gated_device)
+    from bodyct_dram_emph_subtype_tpu.ops.packing import WINDOW_HI
+    hu = rng.randint(-1400, -200, (2, 8, 16, 16)).astype(np.int16)
+    hu[:, :3] = -2048                        # fully-dead region → dropped
+    block = 128
+    gb = gate_blocks_np((hu > WINDOW_LO).reshape(2, -1), block=block)
+    budget = gated_budget(gb.sum(-1), block=block, multiple=1)
+    packed, bits = pack10_gated_host(hu, gb, budget, block=block)
     got = np.asarray(unpack10_gated_device(
-        jnp.asarray(packed), jnp.asarray(bits), (4, 8, 8)))
+        jnp.asarray(packed), jnp.asarray(bits), (8, 16, 16), block=block))
     np.testing.assert_array_equal(
         got, np.clip(hu, WINDOW_LO, WINDOW_HI).astype(np.float32))
+
+
+def test_pick_gate_block():
+    from bodyct_dram_emph_subtype_tpu.ops.packing import pick_gate_block
+    assert pick_gate_block(128 * 288 * 384) == 512
+    assert pick_gate_block(32 * 56 * 72) == 256
+    assert pick_gate_block(8 * 8 * 9) == 0
