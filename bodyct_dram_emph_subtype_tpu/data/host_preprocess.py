@@ -44,28 +44,31 @@ def resize_linear_np(x: np.ndarray, out_sizes, axes, align_corners: bool
 
 def resize_linear_matmul_np(x: np.ndarray, out_sizes, axes,
                             align_corners: bool) -> np.ndarray:
-    """BLAS-path n-linear resize: per-axis matmul against a dense two-tap
-    interpolation matrix.  Equal to :func:`resize_linear_np` up to final-
-    rounding/FMA differences (the matrix holds the same float64-derived
-    taps, but BLAS sgemm may fuse or reorder the two-term accumulation, so
-    rounding ties can shift by one ulp — and by one count after a uint8
-    quantization).  ~10x faster on one core for volume-sized arrays.
+    """Fast-ordered n-linear resize for the deployment host: per-axis
+    two-tap gather + lerp, axes processed most-shrinking first (separable
+    1-D linear operators commute, so only f32 rounding can differ).
 
-    Axes are processed most-shrinking first (separable 1-D linear
-    operators commute, so only f32 rounding can differ): shrinking early
-    cuts every later axis's GEMM — the deployment un-crop resize drops
-    ~2x (202 -> 106 ms measured on the 1-core deployment host)."""
+    Equal to :func:`resize_linear_np` up to final-rounding/FMA
+    differences (same float64-derived taps; the per-axis ORDER reassigns
+    rounding ties by one ulp — and by one count after a uint8
+    quantization).
+
+    History: this used a dense (in, out) GEMM per axis (round 3's "~10x
+    faster than take" note predates the shrink-first ordering).
+    Re-measured round 5 with ordering on the 1-core deployment host, the
+    two-tap chain wins at every deployment shape — it does 2·out work
+    per axis where the GEMM does in·out: un-crop half→target 82→56 ms,
+    target→recon 69→44, target→512-scan recon 675→392."""
     x = x.astype(np.float32)
     order = sorted(zip(axes, out_sizes),
                    key=lambda p: p[1] / x.shape[p[0]])
     for axis, out_size in order:
-        in_size = x.shape[axis]
-        i0, i1, w = _linear_taps(out_size, in_size, align_corners)
-        m = np.zeros((in_size, out_size), np.float32)
-        cols = np.arange(out_size)
-        np.add.at(m, (i0, cols), 1.0 - w)
-        np.add.at(m, (i1, cols), w)
-        x = np.moveaxis(np.tensordot(x, m, axes=([axis], [0])), -1, axis)
+        i0, i1, w = _linear_taps(out_size, x.shape[axis], align_corners)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        wb = w.reshape(shape)
+        x = (np.take(x, i0, axis=axis) * (1 - wb)
+             + np.take(x, i1, axis=axis) * wb)
     return np.ascontiguousarray(x)
 
 
