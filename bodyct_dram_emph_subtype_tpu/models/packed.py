@@ -285,7 +285,14 @@ def _roll_mode_supported(xp_shape, kernel_shape, itemsize: int) -> bool:
     return supports_roll_conv(tuple(xp_shape), tuple(kernel_shape), itemsize)
 
 
-_ROLL_MIN_ELEMS = 32 * 2 ** 20   # tests patch this to 0 for tiny shapes
+# Floor for routing a packed conv site through the rolling-ring Pallas
+# kernels (per-sample packed elems).  Round-5 chip A/B
+# (benchmarks/train_layer_pack_probe.py, B=4 bf16): 2M (layer1 + the
+# layer2 identity tail engage) 491.5 ms/step vs 32M (decoder only)
+# 525.3 — the layer2-tail dgrad/wgrad is the win, layer1 a wash; eval
+# fwd measured neutral for both (DEVNOTES round 3b).  Tests patch this
+# to 0 for tiny shapes.
+_ROLL_MIN_ELEMS = 2 * 2 ** 20
 
 
 class PackedConv3(nn.Module):

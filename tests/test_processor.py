@@ -93,10 +93,11 @@ def test_processor_multiple_scans_batched(io_dirs):
         assert heat.array.shape == shape
 
 
-def test_device_path_matches_host_path(io_dirs, tmp_path):
+def test_device_path_matches_host_path(io_dirs, tmp_path, caplog):
     """The fused device-preprocess deployment path must reproduce the host
     path's outputs: same scores, near-identical percentages, and matching
     uint8 heatmaps."""
+    import logging
     scan_dir, lobe_dir, out_dir = io_dirs
     _write_case(scan_dir, lobe_dir, "case1", shape=(48, 64, 80), seed=3)
     out_host = tmp_path / "out_host"
@@ -104,8 +105,17 @@ def test_device_path_matches_host_path(io_dirs, tmp_path):
     kwargs = dict(model_arch="med3ddramtiny", ckp_path=None,
                   target_size=(32, 48, 64), batch_size=1, workers=1,
                   nchips=1)
-    res_dev = run_inference(str(scan_dir), str(lobe_dir), str(out_dir),
-                            device_preprocess=True, **kwargs)
+    with caplog.at_level(logging.WARNING,
+                         logger="bodyct_dram_emph_subtype_tpu"):
+        res_dev = run_inference(str(scan_dir), str(lobe_dir), str(out_dir),
+                                device_preprocess=True, **kwargs)
+    # the parity assertion is vacuous if the scan silently fell back to
+    # the host path (pad overflow / gated-budget overflow / packing
+    # divisibility) — any such fallback logs a warning
+    fallbacks = [r for r in caplog.records
+                 if "fall back" in r.getMessage()
+                 or "host preprocessing" in r.getMessage()]
+    assert not fallbacks, [r.getMessage() for r in fallbacks]
     res_host = run_inference(str(scan_dir), str(lobe_dir), str(out_host),
                              device_preprocess=False, **kwargs)
     md, mh = res_dev[0]["metrics"], res_host[0]["metrics"]
