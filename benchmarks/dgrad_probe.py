@@ -46,21 +46,19 @@ def main():
         ok = supports_roll_conv(g.shape, kt.shape, 2)
         row = {"case": f"dgrad_{name}", "plan_wt": _plan(g.shape, c, 2),
                "supported": bool(ok)}
-        if not ok:
-            print(json.dumps(row), flush=True)
-            continue
         try:
-            f = jax.jit(lambda g, kt: _roll_conv_impl(g, kt))
-            out = f(g, kt)
-            np.asarray(out[0, 0, 0, :4])
-            best = 1e9
-            for _ in range(3):
-                t0 = time.time()
-                for _ in range(8):
-                    out = f(g, kt)
+            if ok:
+                f = jax.jit(lambda g, kt: _roll_conv_impl(g, kt))
+                out = f(g, kt)
                 np.asarray(out[0, 0, 0, :4])
-                best = min(best, (time.time() - t0) / 8 * 1e3)
-            row["roll_ms"] = round(best, 2)
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(8):
+                        out = f(g, kt)
+                    np.asarray(out[0, 0, 0, :4])
+                    best = min(best, (time.time() - t0) / 8 * 1e3)
+                row["roll_ms"] = round(best, 2)
             d = jax.jit(lambda g, kt: _direct_packed_reference(g, kt))
             out = d(g, kt)
             np.asarray(out[0, 0, 0, :4])

@@ -103,13 +103,23 @@ def unpack10_device(packed: jax.Array, out_shape) -> jax.Array:
     return out[0] if squeeze else out
 
 
-GATE_BLOCK = 512
+# Chip A/B (benchmarks/gate_block_probe.py, bench upload shape, B=4):
+# smaller blocks cut occupancy inflation (partially-dead blocks shipping
+# whole) faster than they raise the gather cost — K=512: 12.84 MB/vol at
+# 6.6 ms unpack; K=128: 11.78 MB at 10.2 ms; K=64: 10.24 MB at 19.2 ms.
+# On the ~45 MB/s link that gates e2e, 1 MB/vol ≈ 22 ms/vol, so K=128 is
+# the balanced default (K=64's extra 9 ms/batch unpack starts eating its
+# own link win on better links).
+GATE_BLOCK = 128
 
 
-def pick_gate_block(n_vox: int, candidates=(512, 256, 128, 64)) -> int:
-    """Largest block size whose block count divides the packbits byte
+def pick_gate_block(n_vox: int, candidates=(128, 64)) -> int:
+    """Preferred block size whose block count divides the packbits byte
     granularity (``n_vox % (block * 8) == 0``), or 0 when none fits —
-    the caller then falls back to the ungated transport."""
+    the caller then falls back to the ungated transport.  Candidates are
+    ordered by measured bytes-vs-unpack balance (module comment); a
+    larger candidate can never pass when a smaller one fails, so the
+    list is short."""
     for b in candidates:
         if n_vox % (b * 8) == 0:
             return b

@@ -122,6 +122,7 @@ def test_pack10_gated_value_gate_is_exact(rng):
 
 def test_pick_gate_block():
     from bodyct_dram_emph_subtype_tpu.ops.packing import pick_gate_block
-    assert pick_gate_block(128 * 288 * 384) == 512
-    assert pick_gate_block(32 * 56 * 72) == 256
+    assert pick_gate_block(128 * 288 * 384) == 128
+    assert pick_gate_block(32 * 56 * 72) == 128
+    assert pick_gate_block(64 * 8 * 9) == 64
     assert pick_gate_block(8 * 8 * 9) == 0
