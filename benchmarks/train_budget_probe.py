@@ -45,11 +45,11 @@ def main():
 
     blocks.set_conv3d_mode("roll")
     try:
-        for mb in (20, 52):
+        for mb in (52, 64, 76):
             rc.set_roll_vmem_budget(mb * 1024 * 1024)
             try:
                 model = get_model_by_name("med3ddram", dtype=jnp.bfloat16,
-                                          remat="layer1,layer2,decoder",
+                                          remat=False,
                                           packed_decoder=True)
                 x0 = jnp.zeros((1, *TARGET, 1), jnp.float32)
                 v = jax.jit(lambda k: model.init(k, x0, x0, train=False))(

@@ -494,6 +494,7 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
                   compute_dtype: str = "float32",
                   device_preprocess: bool = True,
                   pad_shape=(160, 288, 384),
+                  gated_frac: float = 0.8,
                   state: Optional[TrainState] = None,
                   mesh=None) -> List[Dict[str, Any]]:
     """Run the full deployment pipeline; returns the results list.
@@ -625,7 +626,8 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
         if device_preprocess:
             host_subset = _device_path(model, state, mesh, dataset,
                                        _make_loader, tuple(target_size),
-                                       tuple(pad_shape), pipeline)
+                                       tuple(pad_shape), pipeline,
+                                       gated_frac=gated_frac)
         if host_subset is None or host_subset:
             for batch in _make_loader(view, subset=host_subset):
                 device_in = shard_batch(mesh, {

@@ -57,6 +57,12 @@ def run_testing_job():
                         help="static raw-volume buffer for the device "
                              "preprocess path; larger crops fall back to "
                              "host preprocessing")
+    parser.add_argument("--gated_frac", default=0.8, type=float,
+                        help="sizes the block-gated CT upload stream as a "
+                             "fraction of the --pad_shape buffer; a "
+                             "deployment tunes this from its population "
+                             "like --pad_shape (overflow falls back "
+                             "per-scan to host preprocessing)")
     parser.add_argument("--local_rank", default=0, type=int,
                         help="this argument is not used and should be ignored")
     args = parser.parse_args()
@@ -71,7 +77,8 @@ def run_testing_job():
         batch_size=args.batch_size, workers=args.workers,
         nchips=args.nchips, compute_dtype=args.compute_dtype,
         device_preprocess=args.device_preprocess and not args.host_preprocess,
-        pad_shape=tuple(args.pad_shape), mesh=args.mesh)
+        pad_shape=tuple(args.pad_shape), gated_frac=args.gated_frac,
+        mesh=args.mesh)
     print("results:", results)
 
 
