@@ -126,8 +126,14 @@ class SubtypingInference:
             ret["original_image"] = original
         if self.compute_ess:
             # NOTE: −910 HU here vs −950 in training — a reference quirk we
-            # preserve (dataset.py:79 vs dataset.py:149)
-            ret["ess_mask"] = np.logical_and(image < -910, lung)
+            # preserve (dataset.py:79 vs dataset.py:149).  Thresholded on
+            # the NATIVE-dtype crop (a view, no copy): for float-typed
+            # scans a voxel at −910.4 must count as ess exactly like the
+            # reference's pre-cast compare; inside the lung the mask-out
+            # never fires (lung ⊂ dilated lung), so the un-masked view is
+            # equivalent to the reference's masked volume here
+            ret["ess_mask"] = np.logical_and(
+                np.asarray(scan[slices]) < -910, lung)
         self.scan_meta_cache[scan_name] = {
             "spacing": spacing, "origin": origin, "direction": direction,
         }

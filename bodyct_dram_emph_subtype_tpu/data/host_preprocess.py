@@ -62,14 +62,8 @@ def resize_linear_matmul_np(x: np.ndarray, out_sizes, axes,
     x = x.astype(np.float32)
     order = sorted(zip(axes, out_sizes),
                    key=lambda p: p[1] / x.shape[p[0]])
-    for axis, out_size in order:
-        i0, i1, w = _linear_taps(out_size, x.shape[axis], align_corners)
-        shape = [1] * x.ndim
-        shape[axis] = out_size
-        wb = w.reshape(shape)
-        x = (np.take(x, i0, axis=axis) * (1 - wb)
-             + np.take(x, i1, axis=axis) * wb)
-    return np.ascontiguousarray(x)
+    return np.ascontiguousarray(resize_linear_np(
+        x, [s for _, s in order], [a for a, _ in order], align_corners))
 
 
 def resize_nearest_np(x: np.ndarray, out_sizes, axes) -> np.ndarray:

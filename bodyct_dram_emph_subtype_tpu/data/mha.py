@@ -88,9 +88,10 @@ def read_mha(path: Union[str, Path]) -> MhaImage:
             return tuple(float(v) for v in header[key].split())
         return default
 
-    # NOTE: for uncompressed native-endian files this is a zero-copy
-    # READ-ONLY view over the file bytes — callers that mutate must copy
-    # (the deployment pipeline only ever mutates crops, which are copies)
+    # NOTE: the returned array is READ-ONLY in every case — a zero-copy
+    # view over the file bytes (uncompressed native-endian) or over the
+    # decompressed buffer.  Callers that mutate must copy; the
+    # deployment pipeline only ever mutates crops, which are copies.
     return MhaImage(
         array=np.ascontiguousarray(array),
         spacing=floats("ElementSpacing", (1.0,) * ndims),

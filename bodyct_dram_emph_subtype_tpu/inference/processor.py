@@ -131,7 +131,7 @@ class _RawPredictView:
                 "oversized": True}
 
     def __getitem__(self, index):
-        from ..ops.packing import WINDOW_LO
+        from ..ops.packing import WINDOW_LO, gate_blocks_np
         d = self.dataset[index]
         img = np.asarray(d["image"])  # int16 crop (datasets.py)
         if any(s > p for s, p in zip(img.shape[1:], self.up_shape[1:])):
@@ -144,7 +144,8 @@ class _RawPredictView:
         img_p[sl] = img[idx]
         # the block gate computed once in the loader thread rides along so
         # the dispatch thread's pack10_gated_host never re-scans the buffer
-        gb = (img_p > WINDOW_LO).reshape(self.nblk, self.block).any(-1)
+        gb = gate_blocks_np((img_p > WINDOW_LO).reshape(1, -1),
+                            block=self.block)[0]
         if int(np.count_nonzero(gb)) * self.block > self.budget:
             return self._dummy(
                 index, d, f"gated voxel count exceeds budget {self.budget}")
@@ -185,17 +186,22 @@ def _cached_predict_step(model, batch_lung_norm: bool = False,
 @functools.lru_cache(maxsize=4)
 def _cached_predict_packed(model, target_size, up_shape, mesh=None,
                            budget: Optional[int] = None,
-                           block: int = 512):
+                           block: Optional[int] = None):
     """Jitted packed-input predict program, cached per static config (same
     recompile-avoidance rationale as :func:`_cached_predict_step`).
     ``up_shape`` is the depth-preselected upload buffer shape
     ``(target_size[0], Hpad, Wpad)``; ``budget`` the block-gated CT
     stream capacity in voxels (None → ungated full-buffer transport),
-    ``block`` the gate granularity (``ops/packing.py``)."""
+    ``block`` the gate granularity (None → the packing-module default,
+    so a caller that packed with the library defaults can never pair
+    them with a mismatched unpack grouping)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.packing import unpack10_device, unpack10_gated_device
+    from ..ops.packing import (GATE_BLOCK, unpack10_device,
+                               unpack10_gated_device)
+    if block is None:
+        block = GATE_BLOCK
     from ..ops.preprocess import fused_preprocess_preselected
     from ..ops.resize import resize_linear_matmul_transpose
 
@@ -359,9 +365,11 @@ def _device_path(model, state, mesh, dataset, make_loader,
     one scan at a time).
 
     ``gated_frac`` sizes the static gated CT stream as a fraction of the
-    upload buffer: real lung crops run ~30-60% above the window floor
-    after the mask-out (the rest is −2048), so 0.75 leaves margin while
-    cutting upload bytes ~30-45% (VERDICT r4 next-step #2/#3)."""
+    upload buffer, counted in GATE BLOCKS: block occupancy runs ~64-79%
+    on crop-like geometries (benchmarks/gate_block_probe.py — partially
+    dead blocks ship whole), so the 0.8 default leaves a little margin
+    while still cutting upload bytes ~20-35%; overflow falls back
+    per-scan to host preprocessing."""
     from ..ops.packing import gated_budget, pack10_gated_host, pick_gate_block
 
     n_vox_t = int(np.prod(target_size))

@@ -468,8 +468,15 @@ class SubtypeTrainer:
             # (models.py:266-272).  The dense maps are batch-sharded, so
             # each process can address exactly its local rows —
             # process_local_data extracts them (the same local-row ↔
-            # host-batch correspondence the metrics path above relies on)
-            if (jax.process_index() == 0
+            # host-batch correspondence the metrics path above relies on).
+            # Multi-process draws require a batch-only sharding: under a
+            # spatial/model mesh extent the dense maps are ALSO sharded
+            # along H/channels, which process_local_data's axis-0 dedup
+            # would silently truncate to one fragment per row
+            batch_only = (jax.process_count() == 1
+                          or (self.mesh.shape.get("spatial", 1) == 1
+                              and self.mesh.shape.get("model", 1) == 1))
+            if (jax.process_index() == 0 and batch_only
                     and batch_idx < cfg.debug_draw_batches):
                 draw_batch = (self._host_view_of_raw_batch(batch)
                               if device_mode else batch)

@@ -104,6 +104,29 @@ def test_inference_dataset_reference_semantics(tmp_path):
     assert "original_image" not in lean and "ess_mask" not in lean
 
 
+def test_inference_dataset_float_scan_ess_threshold(tmp_path):
+    """The −910 HU ess threshold must apply to the NATIVE-dtype voxels
+    (reference compares before any cast): a float scan voxel at −910.4
+    is ess; int16 truncation to −910 would wrongly exclude it."""
+    scan_dir = tmp_path / "ct"
+    lobe_dir = tmp_path / "lobes"
+    scan_dir.mkdir()
+    lobe_dir.mkdir()
+    ct = np.full((8, 8, 8), -700.0, np.float32)
+    lobe = np.zeros((8, 8, 8), np.uint8)
+    lobe[2:6, 2:6, 2:6] = 1
+    ct[3, 3, 3] = -910.4          # ess only if compared pre-cast
+    ct[4, 4, 4] = -909.6          # never ess
+    write_mha(scan_dir / "f.mha", ct, (1.0, 1.0, 1.0))
+    write_mha(lobe_dir / "f.mha", lobe, (1.0, 1.0, 1.0))
+    item = SubtypingInference(str(scan_dir), str(lobe_dir))[0]
+    crop = item["crop_slice"]
+    ess = item["ess_mask"]
+    p = tuple(3 - int(a) for a, _ in crop)
+    q = tuple(4 - int(a) for a, _ in crop)
+    assert bool(ess[p]) and not bool(ess[q])
+
+
 def test_find_crops_np_matches_nonzero_reference():
     import math
     from bodyct_dram_emph_subtype_tpu.ops.morphology import find_crops_np
