@@ -53,7 +53,7 @@ def main():
     default = packed_mod._ROLL_MIN_ELEMS
     losses = {}
     try:
-        for label, floor in (("default32M", default),
+        for label, floor in ((f"default{default >> 20}M", default),
                              ("floor8M", 8 * 2 ** 20),
                              ("floor2M", 2 * 2 ** 20)):
             packed_mod._ROLL_MIN_ELEMS = floor

@@ -779,6 +779,17 @@ def _fwd(xp, kernel):
     return _roll_conv_impl(xp, kernel), (xp, kernel)
 
 
+def _pad_pair_lanes(a: jax.Array) -> jax.Array:
+    """Zero-pad each W-parity block of a packed (..., 2C) tensor:
+    ``[even C | odd C]`` → ``[even C, 0_C, odd C, 0_C]`` — exactly the
+    ``pack_w`` layout of the same volume with its channels zero-extended
+    C → 2C, so a packed conv over the result with zero-extended kernel
+    rows computes the identical convolution at full 4C lanes."""
+    c = a.shape[-1] // 2
+    z = jnp.zeros(a.shape[:-1] + (c,), a.dtype)
+    return jnp.concatenate([a[..., :c], z, a[..., c:], z], axis=-1)
+
+
 def _bwd(res, g):
     xp, kernel = res
     # dgrad of a stride-1 pad-1 conv is the same conv with the kernel
@@ -789,8 +800,23 @@ def _bwd(res, g):
     # rolling-ring kernel (persistent VMEM accumulator) when the operand
     # lanes qualify; otherwise XLA emits the weight-gradient contraction.
     kt = jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4)
-    if supports_roll_conv(g.shape, kt.shape, g.dtype.itemsize):
+    itemsize = g.dtype.itemsize
+    dx = None
+    if supports_roll_conv(g.shape, kt.shape, itemsize):
         dx = _roll_conv_impl(g, kt)
+    elif g.shape[-1] == 64:   # half a (8, 128)-element lane tile
+        # us3-class backward: 2x32 packed lanes are a sub-lane tile that
+        # crashes Mosaic (re-confirmed round 5).  Zero-padding each
+        # parity block to full lanes with zeroed kernel rows computes
+        # the identical dgrad and still beats XLA: 18.8 vs 25.3 ms at
+        # the us3 deployment shape (benchmarks/us3_pad_dgrad_probe.py).
+        # The padded WGRAD measured slower than XLA (20.8 vs 17.6) —
+        # only dgrad takes this path.
+        ktp = jnp.concatenate([kt, jnp.zeros_like(kt)], axis=3)
+        gp = _pad_pair_lanes(g)
+        if supports_roll_conv(gp.shape, ktp.shape, itemsize):
+            dx = _roll_conv_impl(gp, ktp)
+    if dx is not None:
         if supports_roll_wgrad(xp.shape, kernel.shape, xp.dtype.itemsize):
             dw = roll_conv_wgrad(xp, g, kernel.shape).astype(kernel.dtype)
         else:

@@ -204,6 +204,25 @@ def test_roll_conv_matches_direct(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-2)
 
+    # us3-class backward: the conv's OUTPUT grad has 2x32 = 64 packed
+    # lanes (half a lane tile — Mosaic-fatal on chip); the bwd must take
+    # the LANE-PADDED roll dgrad (round 5: _pad_pair_lanes + zeroed
+    # kernel rows, exact) and match the direct VJP
+    x64 = jnp.asarray(rng.randn(1, 4, 5, 12, 128).astype(np.float32) * 0.1)
+    k64 = jnp.asarray(rng.randn(3, 3, 3, 64, 32).astype(np.float32) * 0.05)
+    # the OUTPUT grad of this conv has 64 lanes — the plain roll dgrad
+    # is gated (sub-lane tile), the padded path must serve it
+    assert not supports_roll_conv(
+        (1, 4, 5, 12, 64), (3, 3, 3, 32, 64), 4)
+    with pltpu.force_tpu_interpret_mode():
+        g64 = jax.grad(loss_pl, argnums=(0, 1))(x64, k64)
+    g64_ref = jax.grad(
+        lambda xp, k: jnp.sum(_direct_packed_reference(xp, k) ** 2),
+        argnums=(0, 1))(x64, k64)
+    for a, b in zip(g64, g64_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-2)
+
 
 def test_flat_conv3d_matches_direct(rng):
     """Plane-flat im2col conv (interpret mode) == XLA direct conv at
