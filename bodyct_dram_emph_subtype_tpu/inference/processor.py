@@ -420,7 +420,7 @@ def _device_batch_post(pipe: _PostprocessPipeline, *, host, batch,
         if batch["oversized"][i]:
             continue  # dummy item — re-run on the host path
         ess = np.unpackbits(host["ess_bits"][i], bitorder="little")
-        ess = ess[:n_vox_t].reshape(target_size).astype(np.float32)
+        ess = ess[:n_vox_t].reshape(target_size)
         rec = {}
         for name, half in (("cle", host["cle_half"][i]),
                            ("pse", host["pse_half"][i])):
@@ -429,7 +429,10 @@ def _device_batch_post(pipe: _PostprocessPipeline, *, host, batch,
             # match the host-preprocess path (f16 transfer widened back)
             up = resize_linear_matmul_np(half.astype(np.float32),
                                          target_size, (0, 1, 2),
-                                         align_corners=True) * ess
+                                         align_corners=True)
+            # in-place zero outside ess (== * ess for a 0/1 mask, minus
+            # one full-volume f32 temporary per map on the 1-core host)
+            up[ess == 0] = 0.0
             rec[f"{name}_dense"] = up
         pipe.emit(uid, {
             **rec,
