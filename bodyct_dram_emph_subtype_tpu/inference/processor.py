@@ -566,10 +566,12 @@ def run_inference(scan_path: str, lobe_path: str, output_path: str,
     predict_step = _cached_predict_step(model, mesh=mesh)
 
     # lean per-scan host preprocess: the device pipeline computes the ess
-    # mask on chip and never reads original_image; the host fallback
-    # (_PredictView) synthesizes ess_mask itself when absent
+    # mask on chip and never reads original_image; its rare per-scan host
+    # fallback (_PredictView) synthesizes ess_mask from the int16 crop.
+    # The EXPLICIT strict host-parity path keeps the dataset's native-
+    # dtype ess (reference compares before any cast, dataset.py:79)
     dataset = SubtypingInference(scan_path, lobe_path, keep_original=False,
-                                 compute_ess=False)
+                                 compute_ess=not device_preprocess)
     if len(dataset) == 0:
         raise FileNotFoundError(f"no .mha scans under {scan_path}")
     view = _PredictView(dataset, target_size)
